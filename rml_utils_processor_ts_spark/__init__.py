@@ -1,0 +1,49 @@
+"""PySpark-native knowledge-graph construction engine.
+
+A from-scratch re-expression of the capabilities of
+``rdf-connect/rml-utils-processor-ts`` (reference at /root/reference) as an
+idiomatic Spark pipeline: RML mappings compile to DataFrame plans
+(scan -> iterator explode -> term-map projection -> join -> dedupe -> sink),
+plus web-scale stages (entity linking, canonicalization via connected
+components, dedup family, ANN similarity, lineage/resume).
+
+The reference's three processors map onto:
+  * ``js:Y2R``               -> :mod:`.plans.yarrrml` (YARRRML front-end)
+  * ``js:RMLMapperReader``   -> :mod:`.plans.rml_parser` + :mod:`.operators.executor`
+  * ``js:IncRMLTransformer`` -> :mod:`.plans.incrml` (CDC plan rewrite)
+"""
+
+from __future__ import annotations
+
+import os
+
+__version__ = "0.1.0"
+
+_DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "rml_spark", cpus: str | None = None):
+    """Build (or fetch) the SparkSession with scale-appropriate defaults.
+
+    Local mode here, but every config is the one we'd ship on a real
+    cluster: AQE on (runtime re-plan / skew-join split / partition
+    coalescing), UTC session timezone (oracle parity + determinism),
+    Arrow enabled (every Python stage is pandas/Arrow vectorized).
+    """
+    from pyspark.sql import SparkSession
+
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", os.environ.get("RML_SPARK_SHUFFLE_PARTITIONS", _DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("RML_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,102 @@
+"""FnO function registry: each function IRI maps to a Column-expression
+builder, so nested FnO calls compose as nested Catalyst expressions
+(SURVEY.md §2.B10; function inventory at /root/reference/src/voc.ts:95-115).
+
+The stateful CDC functions (explicitCreate/implicitUpdate/implicitDelete)
+are *not* pure column expressions — the executor routes them to the CDC
+operator (operators/cdc.py); :func:`is_stateful_function` detects them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..plans import voc
+from ..plans.model import FunctionCall, TermMap
+
+STATEFUL_FUNCTIONS = {
+    voc.IDLAB_EXPLICIT_CREATE,
+    voc.IDLAB_IMPLICIT_UPDATE,
+    voc.IDLAB_IMPLICIT_DELETE,
+}
+
+
+def is_stateful_function(fn: FunctionCall | None) -> bool:
+    return fn is not None and fn.function_iri in STATEFUL_FUNCTIONS
+
+
+def _param(fn: FunctionCall, *names: str) -> TermMap | None:
+    for n in names:
+        if n in fn.params:
+            return fn.params[n]
+    return None
+
+
+def _positional_params(fn: FunctionCall, prefix_hints: tuple[str, ...]) -> list[TermMap]:
+    return [tm for key, tm in sorted(fn.params.items()) if any(h in key for h in prefix_hints)]
+
+
+def compile_function(fn: FunctionCall, compile_term: Callable[[TermMap, str], Column]) -> Column:
+    """Build a Column for an FnO call. ``compile_term`` compiles a
+    parameter TermMap in a given position ('value' -> plain string)."""
+    iri = fn.function_iri
+
+    if iri == voc.IDLAB_TRUE_CONDITION:
+        # trueCondition(strBoolean=cond, str=value): value when cond else null
+        # (/root/reference/test/incrml.test.ts:55-119)
+        cond_tm = _param(fn, voc.IDLAB_STR_BOOLEAN)
+        val_tm = _param(fn, voc.IDLAB_STR)
+        if cond_tm is None or val_tm is None:
+            raise ValueError("trueCondition needs strBoolean + str parameters")
+        cond = compile_term(cond_tm, "boolean")
+        val = compile_term(val_tm, "value")
+        return F.when(cond, val).otherwise(F.lit(None))
+
+    if iri == voc.IDLAB_STR_BOOLEAN:
+        inner = _param(fn, voc.GREL_VALUE_PARAMETER, voc.GREL_BOOL_B)
+        if inner is None and len(fn.params) == 1:
+            inner = next(iter(fn.params.values()))
+        if inner is None:
+            raise ValueError("strBoolean needs a parameter")
+        return F.lower(compile_term(inner, "value")) == F.lit("true")
+
+    if iri in (voc.IDLAB_EQUAL, voc.IDLAB_NOT_EQUAL):
+        a = _param(fn, voc.GREL_VALUE_PARAMETER)
+        b = _param(fn, voc.GREL_VALUE_PARAMETER2)
+        if a is None or b is None:
+            raise ValueError(f"{iri} needs valueParameter + valueParameter2")
+        ca = compile_term(a, "value")
+        cb = compile_term(b, "value")
+        eq = ca.eqNullSafe(cb)
+        return eq if iri == voc.IDLAB_EQUAL else ~eq
+
+    if iri == voc.GREL_ARRAY_JOIN:
+        # grel:array_join(p_array_a..., param_string_sep) -> concat_ws
+        # (watched-property fingerprints, /root/reference/src/rml/incrml.ts:486-507)
+        sep_tm = _param(fn, voc.GREL_PARAM_STRING_SEP)
+        sep = sep_tm.constant if sep_tm is not None and sep_tm.constant is not None else "&"
+        parts = [compile_term(tm, "value") for key, tm in sorted(fn.params.items()) if voc.GREL_PARAM_A in key]
+        if not parts:
+            parts = [
+                compile_term(tm, "value")
+                for key, tm in sorted(fn.params.items())
+                if key != voc.GREL_PARAM_STRING_SEP
+            ]
+        return F.concat_ws(sep, *parts)
+
+    if iri == voc.IDLAB_STR:
+        inner = next(iter(fn.params.values()), None)
+        if inner is None:
+            raise ValueError("idlab-fn:str needs a parameter")
+        return compile_term(inner, "value")
+
+    if iri in STATEFUL_FUNCTIONS or iri == voc.IDLAB_UNIQUE_IRI:
+        raise ValueError(
+            f"stateful function {iri} must be executed by the CDC operator, "
+            "not compiled as a pure expression"
+        )
+
+    raise ValueError(f"unknown FnO function {iri}")

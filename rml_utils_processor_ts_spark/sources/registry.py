@@ -1,0 +1,224 @@
+"""Logical source -> records DataFrame.
+
+Source location conventions:
+
+* ``table:<parquet path or dir#name>``  — relational table (kind 'table');
+  references are column names. The scale path: at 100 TB this is an
+  Iceberg scan; here ``spark.read.parquet``. Column pruning is automatic
+  because we select only referenced columns.
+* ``pages:<parquet path>``              — page table per BASELINE
+  input_hint ``(url, warc_ts, html, text, lang)``; the iterator runs over
+  the payload column of every page and url/warc_ts pass through for
+  LDES versioning + lineage.
+* plain path + kind 'csv'               — ``spark.read.csv`` (B4).
+* plain path + kind 'xpath'/'jsonpath'  — whole-document text file(s),
+  one record set per file (B2/B3); matches the reference's
+  snapshot-temp-file model (``/root/reference/src/rml/rml.ts:300``).
+* ``inline:<payload>``                  — document provided inline
+  (tests / snapshot pushes).
+
+XML/JSON iteration is a vectorized Arrow-batched stage (``pandas_udf``
+returning ``array<struct<...>>`` then ``explode``): the only Python in
+the pipeline, batched per Arrow chunk, never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.model import LogicalSource
+
+
+def ref_column_name(ref: str) -> str:
+    """Deterministic safe column name for a source reference."""
+    digest = hashlib.md5(ref.encode()).hexdigest()[:10]
+    return f"ref_{digest}"
+
+
+def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
+    """Evaluate an XPath-ish iterator + per-record references with stdlib
+    ElementTree (container has no lxml). Supports the reference-fixture
+    subset: iterator ``//name``; refs ``@attr``, ``child/@attr``,
+    ``child``, ``.`` (B2, /root/reference/test/rml.test.ts:37,42,76)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(doc)
+    except ET.ParseError:
+        return []
+    it = iterator or "/*"
+    if it.startswith("//"):
+        matches = root.iter(it[2:])
+        # ElementTree.iter skips the root itself only if tag mismatch; include root when it matches
+        matches = list(matches)
+        if root.tag == it[2:] and root not in matches:
+            matches = [root] + matches
+    elif it in ("/*", "/", "$"):
+        matches = [root]
+    else:
+        matches = root.findall("." + it if it.startswith("/") else it)
+    out = []
+    for el in matches:
+        rec = {}
+        for ref in refs:
+            rec[ref_column_name(ref)] = _xml_eval_ref(el, ref)
+        out.append(rec)
+    return out
+
+
+def _xml_eval_ref(el, ref: str):
+    if ref.startswith("@"):
+        return el.get(ref[1:])
+    if ref == ".":
+        return (el.text or "").strip() or None
+    if "/@" in ref:
+        path, _, attr = ref.rpartition("/@")
+        child = el.find(path)
+        return child.get(attr) if child is not None else None
+    child = el.find(ref)
+    if child is not None:
+        return (child.text or "").strip() or None
+    return None
+
+
+def _json_value_to_str(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"), sort_keys=True)
+    return str(v)
+
+
+def _json_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
+    """JSONPath iteration (B3). Fast path handles the fixture shapes
+    ``$.[*]`` / ``$[*]`` / ``$.<key>[*]`` / ``$`` with stdlib json; other
+    paths fall back to jsonpath_ng."""
+    try:
+        data = json.loads(doc)
+    except (ValueError, TypeError):
+        return []
+    it = (iterator or "$").strip()
+    elements: list
+    if it in ("$", "$."):
+        elements = data if isinstance(data, list) else [data]
+    elif it in ("$.[*]", "$[*]", "$.*"):
+        elements = data if isinstance(data, list) else list(data.values()) if isinstance(data, dict) else []
+    elif it.endswith("[*]") and it.startswith("$.") and "[" not in it[2:-3]:
+        key = it[2:-3]
+        sub = data.get(key) if isinstance(data, dict) else None
+        elements = sub if isinstance(sub, list) else []
+    else:
+        from jsonpath_ng import parse as jp_parse
+
+        elements = [m.value for m in jp_parse(it).find(data)]
+    out = []
+    for el in elements:
+        rec = {}
+        for ref in refs:
+            rec[ref_column_name(ref)] = _json_value_to_str(_json_eval_ref(el, ref))
+        out.append(rec)
+    return out
+
+
+def _json_eval_ref(el, ref: str):
+    if isinstance(el, dict):
+        if ref in el:
+            return el[ref]
+        cur = el
+        for part in ref.split("."):
+            if isinstance(cur, dict) and part in cur:
+                cur = cur[part]
+            else:
+                from jsonpath_ng import parse as jp_parse
+
+                found = jp_parse(ref if ref.startswith("$") else "$." + ref).find(el)
+                return found[0].value if found else None
+        return cur
+    return None
+
+
+def _records_schema(refs: list[str]) -> T.ArrayType:
+    return T.ArrayType(
+        T.StructType([T.StructField(ref_column_name(r), T.StringType(), True) for r in refs])
+    )
+
+
+def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: list[str], passthrough: list[str]) -> DataFrame:
+    """payload-doc DataFrame -> exploded records. Arrow-batched pandas UDF
+    (array<struct> out) + built-in explode; passthrough columns survive."""
+    iterator = ls.iterator
+    kind = ls.kind
+    schema = _records_schema(refs)
+    ref_list = list(refs)
+
+    @F.pandas_udf(schema)
+    def iterate(docs: pd.Series) -> pd.Series:
+        fn = _xml_iter_records if kind == "xpath" else _json_iter_records
+        return docs.map(lambda d: fn(d, iterator, ref_list) if d is not None else [])
+
+    recs = df.withColumn("__records", iterate(F.col(payload_col)))
+    exploded = recs.select(*passthrough, F.explode("__records").alias("__rec"))
+    return exploded.select(*passthrough, "__rec.*")
+
+
+def records_df(
+    spark: SparkSession,
+    ls: LogicalSource,
+    refs: list[str],
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Load a logical source and produce its record DataFrame with one
+    string column per reference (named ``ref_<md5>``), plus passthrough
+    metadata columns when the source is a page table."""
+    passthrough = passthrough or []
+    src = ls.source
+    if src.startswith("table:") or ls.kind == "table":
+        path = src[len("table:"):] if src.startswith("table:") else src
+        df = spark.read.parquet(path)
+        cols = []
+        for ref in refs:
+            if ref not in df.columns:
+                raise ValueError(f"table source {path}: no column {ref!r}")
+            cols.append(F.col(ref).cast("string").alias(ref_column_name(ref)))
+        keep = [c for c in passthrough if c in df.columns]
+        return df.select(*keep, *cols)
+    if src.startswith("pages:") or ls.kind == "pages":
+        path = src[len("pages:"):] if src.startswith("pages:") else src
+        pages = spark.read.parquet(path)
+        keep = [c for c in passthrough if c in pages.columns]
+        inner = LogicalSource(source=src, kind="xpath" if ls.iterator and ls.iterator.startswith("/") else ls.kind, iterator=ls.iterator, payload_column=ls.payload_column)
+        # default: XML payloads unless iterator looks like JSONPath
+        if ls.iterator and ls.iterator.startswith("$"):
+            inner.kind = "jsonpath"
+        elif inner.kind == "pages":
+            inner.kind = "xpath"
+        return _iterate_docs_df(pages.select(*keep, ls.payload_column), ls.payload_column, inner, refs, keep)
+    if ls.kind == "csv":
+        if src.startswith("inline:"):
+            import io
+
+            pdf = pd.read_csv(io.StringIO(src[len("inline:"):]), sep=ls.delimiter, dtype=str)
+            df = spark.createDataFrame(pdf)
+        else:
+            df = spark.read.option("header", "true").option("delimiter", ls.delimiter).csv(src)
+        cols = []
+        for ref in refs:
+            if ref not in df.columns:
+                raise ValueError(f"csv source {src}: no column {ref!r}")
+            cols.append(F.col(ref).cast("string").alias(ref_column_name(ref)))
+        return df.select(*cols)
+    if ls.kind in ("xpath", "jsonpath"):
+        if src.startswith("inline:"):
+            docs = spark.createDataFrame([(src[len("inline:"):],)], "doc string")
+        else:
+            docs = spark.read.text(src, wholetext=True).withColumnRenamed("value", "doc")
+        return _iterate_docs_df(docs, "doc", ls, refs, [])
+    raise ValueError(f"unsupported logical source kind {ls.kind!r} for {src!r}")
