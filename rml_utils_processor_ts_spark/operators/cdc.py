@@ -168,8 +168,18 @@ def execute_stateful_tm(
         return frames, {state_id: new_state}
 
     if event == voc.IDLAB_IMPLICIT_DELETE:
-        deleted = state.join(current_entities, key, "left_anti")
-        new_state = current_entities
+        # Delete is evaluated only within publishers present in THIS
+        # snapshot — a publisher's absence must not delete other
+        # publishers' entities (the false-delete hazard the reference
+        # fixes by re-keying state files per publisher, rml.ts:302-320;
+        # here it is a semi-join on the composite key's publisher part).
+        current_publishers = current_entities.select("publisher").distinct()
+        deleted = state.join(current_publishers, "publisher", "left_semi").join(
+            current_entities, key, "left_anti"
+        )
+        new_state = state.join(current_publishers, "publisher", "left_anti").unionByName(
+            current_entities
+        )
         # deleted subjects have no source record: project constant-only POMs
         # (rdf:type / lifecycle) from the state rows themselves.
         emit = deleted.select(

@@ -157,6 +157,8 @@ class PlanExecutor:
                 p = stateful.params.get(key)
                 if p is not None:
                     refs = refs + [r for r in p.references() if r not in refs]
+            if self.publisher_ref is not None and self.publisher_ref not in refs:
+                refs = refs + [self.publisher_ref]
         records = self._records(tm.logical_source, refs)
         rec_cols = set(records.columns)
         resolve = _resolver(rec_cols)

@@ -1,0 +1,89 @@
+"""CDC sequence tests ≙ the reference's async-update/stateful tests
+(/root/reference/test/rml.test.ts:800-990): ordered snapshots through the
+stateful mapping assert per-run Create/Update/Delete events."""
+
+import pytest
+from fixtures import RML_STATEFUL, XML_DOC, XML_DOC_V2, XML_DOC_V3_DROPPED
+
+from rml_utils_processor_ts_spark.operators.cdc import StateStore
+from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+
+EX = "http://example.org/"
+LIFECYCLE = EX + "lifeCycleType"
+AS = "https://www.w3.org/ns/activitystreams#"
+
+
+def run_snapshot(spark, store, doc, publisher_ref=None):
+    plan = parse_mapping(
+        RML_STATEFUL.format(source="dataset/data.xml"),
+        {"dataset/data.xml": "inline:" + doc},
+    )
+    ex = PlanExecutor(spark, state_store=store, publisher_ref=publisher_ref)
+    result = ex.execute(plan)
+    rows = result.triples.collect()
+    store.commit_all(result.state_updates)
+    events = {}
+    for r in rows:
+        if r["p"] == LIFECYCLE:
+            events.setdefault(r["o"].rsplit("#", 1)[-1], set()).add(r["s"])
+    return rows, events
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return StateStore(spark, str(tmp_path / "state"))
+
+
+def test_first_snapshot_all_create(spark, store):
+    """≙ first snapshot => all Create (rml.test.ts:954-974)."""
+    rows, events = run_snapshot(spark, store, XML_DOC)
+    assert events.get("Create") == {EX + "001", EX + "002"}
+    assert "Update" not in events
+    assert "Delete" not in events
+    labels = {(r["s"], r["o"]) for r in rows if r["p"].endswith("label")}
+    assert (EX + "001", "some data") in labels
+
+
+def test_update_sequence(spark, store):
+    """run1 creates; run2 with changed labels => updates only; run3
+    identical => silence (watched-property fingerprint unchanged)."""
+    run_snapshot(spark, store, XML_DOC)
+    rows, events = run_snapshot(spark, store, XML_DOC_V2)
+    assert "Create" not in events
+    assert events.get("Update") == {EX + "001", EX + "002"}
+    assert "Delete" not in events
+    # updated labels are emitted with the update events
+    labels = {(r["s"], r["o"]) for r in rows if r["p"].endswith("label")}
+    assert (EX + "001", "some new data") in labels
+    rows3, events3 = run_snapshot(spark, store, XML_DOC_V2)
+    assert events3 == {}
+
+
+def test_delete_on_dropped_entity(spark, store):
+    """a snapshot dropping id 002 => exactly one Delete for 002, with the
+    class + lifecycle quads only (no label — no source record exists)."""
+    run_snapshot(spark, store, XML_DOC)
+    rows, events = run_snapshot(spark, store, XML_DOC_V3_DROPPED)
+    assert events.get("Delete") == {EX + "002"}
+    assert events.get("Update") == {EX + "001"}  # label changed vs v1
+    del_rows = [r for r in rows if r["s"] == EX + "002"]
+    preds = {r["p"] for r in del_rows}
+    assert preds == {LIFECYCLE, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}
+
+
+def test_per_publisher_state_isolation(spark, store):
+    """≙ per-publisher CDC state (rml.test.ts:928-990 / rml.ts:302-320):
+    a second publisher's first snapshot emits Creates and does NOT
+    trigger deletes of the first publisher's entities."""
+    doc_p1 = """<resource>
+        <data source_id="S001" id="001" label="a"></data>
+    </resource>"""
+    doc_p2 = """<resource>
+        <data source_id="S002" id="900" label="z"></data>
+    </resource>"""
+    _, ev1 = run_snapshot(spark, store, doc_p1, publisher_ref="@source_id")
+    assert ev1.get("Create") == {EX + "001"}
+    rows2, ev2 = run_snapshot(spark, store, doc_p2, publisher_ref="@source_id")
+    assert ev2.get("Create") == {EX + "900"}
+    assert "Delete" not in ev2, "cross-publisher false delete"
