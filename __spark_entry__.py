@@ -1,38 +1,517 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship RML mapping end-to-end at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for each query.
+
+Every query/oracle pair is formulated so both engines compute the same
+deterministic values (md5-based hashing, rounded doubles, epoch-second
+timestamps) — the driver compares row counts + schema + value hashes.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+EX = "http://ex.org/"
+
+
+def _customer_mapping(sf_dir: str) -> str:
+    return f"""
+ex:map_customer a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/customer.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:SubjectMap ;
+        rr:template "http://ex.org/customer/{{c_custkey}}" ;
+        rr:class <http://ex.org/Customer> ;
+        rr:graphMap [ a rr:GraphMap ; rr:constant "http://ex.org/g/customers" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "c_name" ; rr:termType rr:Literal ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/mktsegment> ] ;
+        rr:objectMap [ rml:reference "c_mktsegment" ; rr:termType rr:Literal ] ] .
+"""
+
+
+def _exec(spark: SparkSession, mapping: str, **kw):
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+    return execute_mapping(spark, mapping, **kw)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_rml_customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+B6-B8: table scan -> term-map projection -> class triple -> graph."""
+    res = _exec(spark, _customer_mapping(sf_dir))
+    return res.triples.select("s", "p", "o", "g")
+
+
+def q_rml_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: referencing object map = equi join; object = parent subject IRI."""
+    mapping = f"""
+ex:map_customer a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/customer.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/customer/{{c_custkey}}" ] .
+
+ex:map_orders a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/orders.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/order/{{o_orderkey}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/placedBy> ] ;
+        rr:objectMap [ a rr:ObjectMap ;
+            rr:parentTriplesMap ex:map_customer ;
+            rml:joinCondition [ fnml:functionValue [
+                rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:equal ] ] ;
+                rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "o_custkey" ] ] ;
+                rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ; rr:objectMap [ rr:parentTermMap [ rml:reference "c_custkey" ] ] ]
+            ] ]
+        ] ] .
+"""
+    res = _exec(spark, mapping)
+    return res.triples.filter(F.col("p") == EX + "ns/placedBy").select("s", "p", "o")
+
+
+def q_rml_conditional_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: FnO conditional subject — trueCondition(strBoolean(notEqual(
+    c_mktsegment,'BUILDING')), str=template); rows failing the condition
+    emit nothing."""
+    mapping = f"""
+ex:map_cond a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/customer.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:FunctionTermMap ;
+        fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:trueCondition ] ] ;
+            rr:predicateObjectMap [ rr:predicateMap [ rr:constant idlab-fn:strBoolean ] ;
+                rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+                    rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:notEqual ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "c_mktsegment" ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ; rr:objectMap [ rr:constant "BUILDING" ] ]
+                ] ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:str ; rr:objectMap [ rr:template "http://ex.org/customer/{{c_custkey}}" ] ]
+        ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/nation> ] ;
+        rr:objectMap [ rml:reference "c_nationkey" ; rr:termType rr:Literal ] ] .
+"""
+    res = _exec(spark, mapping)
+    return res.triples.select("s", "p", "o")
+
+
+def q_rml_ldes_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: LDES versioned members — version IRI from the event timestamp,
+    dct:isVersionOf + dct:modified quads."""
+    from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+
+    mapping = f"""
+ex:map_events a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/events.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:SubjectMap ;
+        rr:template "http://ex.org/event/{{event_id}}" ;
+        rml:logicalTarget [ a rmlt:EventStreamTarget ;
+            rmlt:serialization formats:N-Quads ;
+            rmlt:ldes [ a ldes:EvenStream ; ldes:timestampPath dct:modified ; ldes:versionOfPath dct:isVersionOf ] ;
+            rmlt:ldesGenerateImmutableIRI "true"^^xsd:boolean ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/eventType> ] ;
+        rr:objectMap [ rml:reference "event_type" ; rr:termType rr:Literal ] ] .
+"""
+    plan = parse_mapping(mapping)
+    res = PlanExecutor(spark, passthrough=("ts",), ldes_ts_col="ts").execute(plan)
+    return res.triples.select("s", "p", "o")
+
+
+def q_nquads_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: deterministic N-Quads serialization of the customer mapping."""
+    from rml_utils_processor_ts_spark.sinks import triples_to_nquad_lines
+
+    res = _exec(spark, _customer_mapping(sf_dir))
+    return triples_to_nquad_lines(res.triples)
+
+
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 kernel: full-outer-join CDC classification between two
+    synthetic snapshots of the orders table."""
+    from rml_utils_processor_ts_spark.operators.cdc import cdc_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    state = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").cast("string").alias("iri"),
+        F.md5(F.col("o_orderstatus")).alias("watched_hash"),
+    )
+    current = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").cast("string").alias("iri"),
+        F.md5(
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(F.col("o_orderstatus"))
+        ).alias("watched_hash"),
+    )
+    return cdc_diff(current, state, key=["iri"])
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rml_utils_processor_ts_spark.operators.dedup import exact_duplicate_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicate_groups(docs)
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rml_utils_processor_ts_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures(docs, num_hashes=4)
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs + exact-Jaccard verify (no SQL oracle —
+    banding is checked by the signature query; this one is rows-only)."""
+    from rml_utils_processor_ts_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, threshold=0.2)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rml_utils_processor_ts_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(docs, threshold=0.12, block_col="source")
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rml_utils_processor_ts_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_neardup_pairs(emb, threshold=0.8)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rml_utils_processor_ts_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rml_utils_processor_ts_spark.operators.text import text_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_profile(docs)
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windowed aggregation (the batch view of the
+    Structured-Streaming query in streaming/windows.py)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components (canonicalization kernel) over the
+    customer->nation + order->customer edge graph."""
+    from rml_utils_processor_ts_spark.operators.cc import connected_components
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e1 = customer.select(
+        F.format_string("c:%08d", F.col("c_custkey")).alias("src"),
+        F.format_string("n:%08d", F.col("c_nationkey")).alias("dst"),
+    )
+    e2 = orders.select(
+        F.format_string("o:%08d", F.col("o_orderkey")).alias("src"),
+        F.format_string("c:%08d", F.col("o_custkey")).alias("dst"),
+    )
+    return connected_components(e1.union(e2))
+
+
+def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast alias-dictionary linking: part brand mentions -> brand IRIs."""
+    from rml_utils_processor_ts_spark.operators.linking import link_exact
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    mentions = part.select(F.col("p_partkey").alias("mention_id"), F.col("p_brand").alias("mention"))
+    alias_dict = (
+        part.select(F.col("p_brand").alias("alias")).distinct()
+        .withColumn("canonical_iri", F.concat(F.lit(EX + "brand/"), F.regexp_replace(F.lower("alias"), "#", "_")))
+    )
+    return link_exact(mentions, alias_dict).select("mention_id", "mention", "canonical_iri")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rml_customer_triples": q_rml_customer_triples,
+    "rml_join_orders_customer": q_rml_join_orders_customer,
+    "rml_conditional_subject": q_rml_conditional_subject,
+    "rml_ldes_versioned": q_rml_ldes_versioned,
+    "nquads_lines": q_nquads_lines,
+    "cdc_diff": q_cdc_diff,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "text_profile": q_text_profile,
+    "events_window_agg": q_events_window_agg,
+    "cc_components": q_cc_components,
+    "entity_link_exact": q_entity_link_exact,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the customer RML mapping end-to-end at sf0.001."""
+    return q_rml_customer_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL over pre-registered views)
+# --------------------------------------------------------------------------
+
+_CUSTOMER_TRIPLES_SQL = """
+WITH c AS (SELECT * FROM customer)
+SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS s,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+       'http://ex.org/Customer' AS o,
+       'http://ex.org/g/customers' AS g FROM c
+UNION ALL
+SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR),
+       'http://www.w3.org/2000/01/rdf-schema#label', c_name, 'http://ex.org/g/customers' FROM c
+UNION ALL
+SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR),
+       'http://ex.org/ns/mktsegment', c_mktsegment, 'http://ex.org/g/customers' FROM c
+"""
+
+_NQUADS_SQL = """
+WITH t AS ({triples})
+SELECT '<' || s || '> <' || p || '> ' ||
+       CASE WHEN p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+            THEN '<' || o || '>' ELSE '"' || o || '"' END ||
+       ' <' || g || '> .' AS line
+FROM t
+""".format(triples=_CUSTOMER_TRIPLES_SQL)
+
+_TEXT_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+_SHINGLE_CTE = f"""
+docs AS (SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+              ELSE [array_to_string(w, ' ')] END AS gs
+  FROM docs)
+"""
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+shingle AS (SELECT doc_id, unnest(gs) AS sh FROM grams)
+SELECT doc_id AS id,
+       min(md5('0|' || sh)) AS h0,
+       min(md5('1|' || sh)) AS h1,
+       min(md5('2|' || sh)) AS h2,
+       min(md5('3|' || sh)) AS h3
+FROM shingle GROUP BY doc_id
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+d AS (SELECT g.doc_id AS id, g.gs AS grams, x.source AS block
+      FROM grams g JOIN documents x ON g.doc_id = x.doc_id)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+FROM d a JOIN d b ON a.block = b.block AND a.id < b.id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.12
+"""
+
+_EMB_COSINE_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+"""
+
+_ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+_STOPWORDS = "['the','a','and','of','to','is','in','it']"
+_MARKERS = {
+    "de": "['der','die','und','ist']",
+    "en": "['the','and','of','is']",
+    "es": "['el','los','y','es']",
+    "fr": "['le','la','et','est']",
+    "nl": "['de','het','en','is']",
+}
+
+_TEXT_PROFILE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TEXT_NORM} AS t, string_split({_TEXT_NORM}, ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id, t, w,
+    len(w) AS n_tokens,
+    len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+    round(CAST(len(list_filter(w, x -> list_contains({_STOPWORDS}, x))) AS DOUBLE) / len(w), 6) AS stopword_ratio,
+    round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS mean_word_len,
+    len(list_filter(w, x -> list_contains({_MARKERS['de']}, x))) AS sc_de,
+    len(list_filter(w, x -> list_contains({_MARKERS['en']}, x))) AS sc_en,
+    len(list_filter(w, x -> list_contains({_MARKERS['es']}, x))) AS sc_es,
+    len(list_filter(w, x -> list_contains({_MARKERS['fr']}, x))) AS sc_fr,
+    len(list_filter(w, x -> list_contains({_MARKERS['nl']}, x))) AS sc_nl
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, mean_word_len,
+  round(CAST((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+             (CASE WHEN stopword_ratio >= 0.01 THEN 0.3 ELSE 0.0 END) +
+             (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6) AS quality,
+  CASE WHEN greatest(sc_de, sc_en, sc_es, sc_fr, sc_nl) = 0 THEN 'und'
+       WHEN sc_de >= sc_en AND sc_de >= sc_es AND sc_de >= sc_fr AND sc_de >= sc_nl THEN 'de'
+       WHEN sc_en >= sc_es AND sc_en >= sc_fr AND sc_en >= sc_nl THEN 'en'
+       WHEN sc_es >= sc_fr AND sc_es >= sc_nl THEN 'es'
+       WHEN sc_fr >= sc_nl THEN 'fr'
+       ELSE 'nl' END AS lang_pred,
+  (SELECT min(md5(g)) FROM unnest(
+      CASE WHEN len(w) >= 5
+           THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]
+           ELSE [array_to_string(w, ' ')] END) AS u(g)) AS fingerprint
+FROM scored
+"""
+
+_CC_SQL = """
+WITH cust AS (
+  SELECT printf('c:%08d', c_custkey) AS c_node, printf('n:%08d', c_nationkey) AS n_node, c_custkey, c_nationkey
+  FROM customer),
+ords AS (
+  SELECT printf('o:%08d', o.o_orderkey) AS o_node, c.c_node, c.c_nationkey
+  FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey),
+comp AS (
+  SELECT c_nationkey, least(min(c_node), min(n_node)) AS component FROM cust GROUP BY c_nationkey),
+nodes AS (
+  SELECT c_node AS node, c_nationkey FROM cust
+  UNION ALL SELECT DISTINCT n_node, c_nationkey FROM cust
+  UNION ALL SELECT o_node, c_nationkey FROM ords)
+SELECT n.node, c.component FROM nodes n JOIN comp c ON n.c_nationkey = c.c_nationkey
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rml_customer_triples": _CUSTOMER_TRIPLES_SQL,
+        "rml_join_orders_customer": """
+            SELECT 'http://ex.org/order/' || CAST(o_orderkey AS VARCHAR) AS s,
+                   'http://ex.org/ns/placedBy' AS p,
+                   'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS o
+            FROM orders JOIN customer
+              ON CAST(o_custkey AS VARCHAR) = CAST(c_custkey AS VARCHAR)
+        """,
+        "rml_conditional_subject": """
+            SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS s,
+                   'http://ex.org/ns/nation' AS p,
+                   CAST(c_nationkey AS VARCHAR) AS o
+            FROM customer WHERE c_mktsegment <> 'BUILDING'
+        """,
+        "rml_ldes_versioned": """
+            WITH e AS (SELECT event_id, event_type, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS tss FROM events),
+            m AS (SELECT 'http://ex.org/event/' || CAST(event_id AS VARCHAR) AS base_s,
+                         'http://ex.org/event/' || CAST(event_id AS VARCHAR) || '#' || tss AS s,
+                         event_type, tss FROM e)
+            SELECT s, 'http://ex.org/ns/eventType' AS p, event_type AS o FROM m
+            UNION ALL SELECT s, 'http://purl.org/dc/terms/isVersionOf', base_s FROM m
+            UNION ALL SELECT s, 'http://purl.org/dc/terms/modified', tss FROM m
+        """,
+        "nquads_lines": _NQUADS_SQL,
+        "cdc_diff": """
+            WITH state AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS iri, md5(o_orderstatus) AS h
+              FROM orders WHERE o_orderkey % 4 <> 0),
+            cur AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS iri,
+                     md5(CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END) AS h
+              FROM orders WHERE o_orderkey % 5 <> 0)
+            SELECT COALESCE(cur.iri, state.iri) AS iri,
+                   CASE WHEN state.iri IS NULL THEN 'create'
+                        WHEN cur.iri IS NULL THEN 'delete'
+                        WHEN cur.h <> state.h THEN 'update'
+                        ELSE 'unchanged' END AS lifecycle
+            FROM cur FULL OUTER JOIN state ON cur.iri = state.iri
+            WHERE CASE WHEN state.iri IS NULL THEN 'create'
+                       WHEN cur.iri IS NULL THEN 'delete'
+                       WHEN cur.h <> state.h THEN 'update'
+                       ELSE 'unchanged' END <> 'unchanged'
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_TEXT_NORM}) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_signatures": _MINHASH_SQL,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_embedding_cosine": _EMB_COSINE_SQL,
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        "text_profile": _TEXT_PROFILE_SQL,
+        "events_window_agg": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "cc_components": _CC_SQL,
+        "entity_link_exact": """
+            SELECT p_partkey AS mention_id, p_brand AS mention,
+                   'http://ex.org/brand/' || replace(lower(p_brand), '#', '_') AS canonical_iri
+            FROM part
+        """,
+    }

@@ -1,0 +1,111 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full materialization,
+no disk) — ``count()`` alone would let Catalyst prune the projection
+work. The flagship measure is the page pipeline: synth pages -> iterator
+explode -> term-map projection -> dedupe (triples/sec reported under
+"pages_pipeline_triples_per_sec").
+
+Scaling evidence for BENCH/BASELINE.md (two parallelism levels) lives in
+tools/bench_scaling.py — this file stays fast for the per-round driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "rml_customer_triples",
+    "rml_join_orders_customer",
+    "rml_conditional_subject",
+    "rml_ldes_versioned",
+    "nquads_lines",
+    "cdc_diff",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "text_profile",
+    "events_window_agg",
+    "cc_components",
+    "entity_link_exact",
+]
+
+
+def _force(df) -> int:
+    """Materialize everything; return row count via a side aggregate."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from rml_utils_processor_ts_spark import get_spark
+
+    spark = get_spark("bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(queries[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: page pipeline throughput (triples/sec end-to-end)
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+    from rml_utils_processor_ts_spark.sources.pages import synth_pages
+
+    n_pages = int(os.environ.get("RML_BENCH_PAGES", "100000"))
+    pages_path = "/tmp/rml_bench_pages"
+    synth_pages(spark, n_pages).write.mode("overwrite").parquet(pages_path)
+    mapping = f"""
+ex:map_pages a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "pages:{pages_path}" ;
+        rml:iterator "//data" ;
+        rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://example.org/{{@id}}" ;
+        rr:class <http://example.org/Entity> ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "@label" ; rr:termType rr:Literal ] ] .
+"""
+    t0 = time.time()
+    res = execute_mapping(spark, mapping)
+    n_triples = res.triples.count()
+    dt = time.time() - t0
+    timings["pages_pipeline"] = round(dt, 3)
+    triples_per_sec = round(n_triples / dt, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "pages_pipeline_triples_per_sec": triples_per_sec,
+                "pages_pipeline_n_triples": n_triples,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

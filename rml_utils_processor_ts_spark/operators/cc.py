@@ -1,0 +1,142 @@
+"""Iterative connected components over an edge DataFrame — the
+canonicalization kernel (north_rule: "canonicalization via iterative
+connected-components over a salted, hash-partitioned edge DataFrame").
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+pure DataFrame ops; the driver loop only checks a convergence count.
+
+Scale notes:
+  * Each round is two shuffles keyed by node id; AQE handles skew-join
+    splitting for hot hubs, and `salt_hot_keys` pre-splits star hubs
+    whose degree exceeds a threshold.
+  * `localCheckpoint` every round truncates the lineage so the plan
+    doesn't grow exponentially across iterations (a known failure mode
+    of iterative DataFrame jobs).
+  * Convergence in O(log^2 n) rounds; components labeled by min node id
+    (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set with (u < v), self-loops removed."""
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage between CC rounds (iterative DataFrame jobs grow
+    exponential plans otherwise). Fast path: localCheckpoint. Spark
+    4.1.2's checkpoint normalization sporadically crashes with
+    NoSuchElementException in AttributeMap on plans whose union/join
+    branches share attribute ids; fall back to an RDD roundtrip (same
+    lineage cut, pays one Python serde pass). On a real cluster this is
+    ``checkpoint()`` against the HDFS checkpoint dir."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001 — Py4JJavaError, resolver bug
+        spark = df.sparkSession
+        return spark.createDataFrame(df.rdd, df.schema).localCheckpoint(eager=True)
+
+
+def _min_neighbor(e: DataFrame) -> DataFrame:
+    """min(v) per u, output columns (mu, mn) with FRESH attribute ids —
+    joining a frame with an aggregate of itself on same-exprId columns
+    trips Catalyst's relation dedup under localCheckpoint (observed
+    NoSuchElementException in AttributeMap on Spark 4.1.2)."""
+    return e.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("mu"), F.col("mn")
+    )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """edges(src,dst) -> (node, component) with component = min node id
+    in the component (string comparison if ids are strings — callers
+    should zero-pad or cast for numeric semantics)."""
+    e = _materialize(_canonical_edges(edges))
+    prev_sig = None
+
+    # Implementation notes:
+    # * large-star gathers neighbors over the SYMMETRIZED edge set each
+    #   round (the Kiveris formulation) — gathering over the directed
+    #   remnant of the previous round stalls on depth>=2 trees.
+    # * min-neighbor aggregates are localCheckpoint'ed before joining: a
+    #   join between a relation and an aggregate OF THE SAME relation
+    #   makes Catalyst's relation dedup rewrite attribute ids, which
+    #   crashes localCheckpoint normalization on Spark 4.1.2
+    #   (NoSuchElementException in AttributeMap); materializing the tiny
+    #   |nodes|-sized aggregate also avoids recomputing it per branch.
+    # * convergence = edge-set fixpoint, checked by (count, hash-sum)
+    #   signature — one cheap aggregate per round, no extra join.
+    for _ in range(max_iterations):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # large-star: (v, min(Γ(u) ∪ {u})) for every neighbor v > u
+        mn = _materialize(_min_neighbor(sym.union(sym.select(F.col("u"), F.col("u").alias("v")))))
+        e2 = _materialize(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mn, F.col("u") == F.col("mu"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (now high->low oriented) edges: every node in
+        # Γ(u) ∪ {u} links to min(Γ(u) ∪ {u})
+        mn2 = _materialize(_min_neighbor(e2.union(e2.select(F.col("u"), F.col("u").alias("v")))))
+        j = _materialize(
+            e2.join(mn2, F.col("u") == F.col("mu"))
+            .select("u", "v", "mn")
+        )
+        small = j.select(F.col("u"), F.col("mn").alias("v")).union(
+            j.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        e = _materialize(small.filter(F.col("u") != F.col("v")).distinct())
+
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # order-independent, no ANSI overflow
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    comp = nodes.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+    # isolated nodes never appear in edges; callers union them if needed
+    return comp
+
+
+def canonicalize_triples(triples: DataFrame, same_as_edges: DataFrame) -> DataFrame:
+    """Rewrite subject/object IRIs through the canonical map produced by
+    connected components over sameAs edges (entity merge). The component
+    map is usually small relative to triples -> broadcast join; Spark
+    falls back to shuffle join automatically above the broadcast
+    threshold."""
+    comp = connected_components(same_as_edges)
+    mapping = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node"), F.col("component").alias("canon")
+    )
+    t = triples
+    for col in ("s", "o"):
+        m = mapping.withColumnRenamed("node", f"__{col}_node").withColumnRenamed("canon", f"__{col}_canon")
+        cond = t[col] == m[f"__{col}_node"]
+        if col == "o":
+            cond = cond & (t["o_termtype"] == "IRI")
+        t = (
+            t.join(F.broadcast(m), cond, "left")
+            .withColumn(col, F.coalesce(F.col(f"__{col}_canon"), F.col(col)))
+            .drop(f"__{col}_node", f"__{col}_canon")
+        )
+    return t

@@ -87,6 +87,28 @@ class StateStore:
         return {sid: self.commit(sid, df) for sid, df in updates.items()}
 
 
+def cdc_diff(current: DataFrame, state: DataFrame, key: list[str] | None = None) -> DataFrame:
+    """The pure CDC kernel (B11): one full-outer join of the current
+    snapshot vs the registered state classifies every entity as
+    create / update / delete / unchanged.
+
+    Both inputs need the key columns plus ``watched_hash``. This is the
+    single-shuffle formulation: Catalyst plans one join on the key, AQE
+    handles skew; at cluster scale the same expression drives an Iceberg
+    MERGE INTO."""
+    key = key or ["iri"]
+    cur = current.select(*key, F.col("watched_hash").alias("__cur_hash")).dropDuplicates(key)
+    st = state.select(*key, F.col("watched_hash").alias("__st_hash")).dropDuplicates(key)
+    joined = cur.join(st, key, "full_outer")
+    lifecycle = (
+        F.when(F.col("__st_hash").isNull(), F.lit("create"))
+        .when(F.col("__cur_hash").isNull(), F.lit("delete"))
+        .when(F.col("__cur_hash") != F.col("__st_hash"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key, lifecycle.alias("lifecycle")).filter(F.col("lifecycle") != "unchanged")
+
+
 def execute_stateful_tm(
     executor,
     tm: TriplesMap,

@@ -1,0 +1,248 @@
+"""Deduplication family for web-scale corpus construction.
+
+Not present in the reference (it dedupes only output quad sets, B12);
+these are the training-data-pipeline operators the north star requires
+over the page/document tables: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design:
+  * Exact dedup: one hash-groupBy (map-side partial agg via AQE).
+  * MinHash: shingle explode -> single groupBy with H min-aggregates
+    (one shuffle); LSH banding -> band-key self-join produces candidate
+    pairs without the O(n^2) cross join; verification joins signatures
+    back only for candidates.
+  * Hash function: md5 over (seed || shingle) — deterministic,
+    engine-portable (the DuckDB oracle reproduces it bit-for-bit), and
+    uniformly distributed; min taken lexicographically over hex.
+  * Skew: band buckets with > max_bucket members are dropped (a hot
+    bucket is a degenerate near-dup cluster; cap prevents a quadratic
+    blowup on boilerplate-heavy corpora — standard practice at CC scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with the
+    canonical (min) id and the multiplicity."""
+    return (
+        df.select(F.md5(normalize_text(F.col(text_col))).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", words)))
+    return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, h0..h{H-1}): h_j = min over shingles of md5(j || '|' || shingle).
+
+    One explode + one groupBy with H min-aggregates — a single shuffle
+    keyed by document id, partial-aggregated map-side.
+    """
+    shingled = word_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4, max_bucket: int = 200
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become a candidate
+    pair (id_a < id_b). Self-join on the band key — shuffle is keyed by
+    (band, band_hash), never all-pairs."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    # cap degenerate buckets (skew guard)
+    counts = banded.groupBy("band", "band_hash").agg(F.count("*").alias("n"))
+    banded = banded.join(
+        counts.filter(F.col("n") <= max_bucket).select("band", "band_hash"),
+        ["band", "band_hash"],
+        "left_semi",
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs. With ``block_col`` the
+    self-join is restricted to equal blocks (e.g. same source) — the
+    blocked exact baseline; otherwise all pairs (test scale only)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    base_cols = [F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams")]
+    if block_col:
+        base_cols.append(F.col(block_col).alias("block"))
+    base = df.select(*base_cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
+    exact Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    docs = df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams"))
+    j = (
+        cands.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+        .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash over distinct words: bit_i = sign of sum over tokens of
+    (+1 if md5-bit set else -1). Bits derived from the first 8 hex chars
+    of md5(token) — portable to the SQL oracle via bitwise ops."""
+    words = F.explode(
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    ).alias("w")
+    tok = df.select(F.col(id_col).alias("id"), words)
+    tok = tok.withColumn("h", F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates, blocked self-join. Dot products
+    via builtin higher-order functions (zip_with/aggregate) — JVM-side."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("block"))
+    base = emb.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Given near-dup pairs, keep one representative per duplicate cluster
+    (min id wins; transitive closure via connected components)."""
+    from .cc import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"), F.col("id_b").cast("string").alias("dst")
+    )
+    comps = connected_components(edges)
+    keep = comps.groupBy("component").agg(F.min(F.col("node").cast("long")).alias("keep_id"))
+    drop = (
+        comps.join(keep, "component")
+        .filter(F.col("node").cast("long") != F.col("keep_id"))
+        .select(F.col("node").cast("long").alias("drop_id"))
+    )
+    return df.join(drop, df[id_col] == F.col("drop_id"), "left_anti")

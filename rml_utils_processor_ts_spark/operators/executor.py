@@ -112,6 +112,7 @@ class PlanExecutor:
         version_ts: str | None = None,
         passthrough: tuple[str, ...] = ("url", "warc_ts"),
         dedupe: bool = True,
+        ldes_ts_col: str = "warc_ts",
     ):
         self.spark = spark
         self.state_store = state_store
@@ -119,6 +120,7 @@ class PlanExecutor:
         self.version_ts = version_ts
         self.passthrough = passthrough
         self.dedupe = dedupe
+        self.ldes_ts_col = ldes_ts_col
         self._scan_cache: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
 
     # -- scans -------------------------------------------------------------
@@ -227,8 +229,8 @@ class PlanExecutor:
         # deterministic, never wall-clock (reference behavior README.md:43).
         if lt is not None and lt.is_ldes:
             ts_col = (
-                F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-                if "warc_ts" in records.columns
+                F.date_format(F.col(self.ldes_ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                if self.ldes_ts_col in records.columns
                 else F.lit(self.version_ts or "1970-01-01T00:00:00Z")
             )
             base = base.withColumn("__ts", ts_col)

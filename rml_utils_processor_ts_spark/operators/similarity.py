@@ -1,0 +1,102 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Brute-force cosine top-k is the exact baseline (builtin higher-order
+functions, no UDF); the scale path buckets vectors with deterministic
+random-hyperplane LSH so each query probes one bucket's worth of
+candidates instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the given query ids.
+
+    The query side is tiny -> broadcast; the corpus streams through one
+    scan. Top-k via window row_number (a single shuffle on query_id).
+    """
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = base.join(F.broadcast(q), F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: unit-free gaussian-ish
+    weights derived from md5(seed, plane, dim) — pure function of the
+    arguments, no RNG state (determinism requirement)."""
+    planes = []
+    for p in range(n_planes):
+        w = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+            (u,) = struct.unpack("<I", h[:4])
+            w.append((u / 2**31) - 1.0)  # uniform [-1, 1)
+        planes.append(w)
+    return planes
+
+
+def lsh_bucket_column(vec_col, planes: list[list[float]]):
+    """Signature column: one sign bit per hyperplane, concatenated."""
+    bits = []
+    for w in planes:
+        warr = F.array(*[F.lit(x) for x in w])
+        proj = _dot(vec_col, warr)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed ANN: join queries to corpus rows sharing the LSH bucket,
+    exact cosine within the bucket. At 100 TB the bucket column is a
+    partition key — each query touches ~corpus/2^planes rows."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", lsh_bucket_column(F.col("v"), planes)
+    )
+    q = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    scored = base.join(F.broadcast(q), "bucket").filter(F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

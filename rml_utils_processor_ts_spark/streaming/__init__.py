@@ -1,0 +1,10 @@
+"""Streaming layer.
+
+The reference's "streaming" is whole-snapshot replacement per push with
+an all-sources barrier + FIFO buffering (SURVEY.md §2.A4-A6) — we model
+that as ordered snapshot-batch processing (snapshots.py). True
+event-stream processing (Kafka-style) is Structured Streaming
+(windows.py).
+"""
+
+from .snapshots import SnapshotRunner  # noqa: F401

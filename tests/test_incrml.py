@@ -1,0 +1,176 @@
+"""IncRML expansion tests ≙ /root/reference/test/incrml.test.ts: TriplesMap
+counts after expansion, state-path uniqueness, watched-property reference
+strings, rr:class conflict errors, and end-to-end CDC execution of an
+expanded plan."""
+
+import pytest
+
+from rml_utils_processor_ts_spark.operators.cdc import StateStore
+from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+from rml_utils_processor_ts_spark.plans import voc
+from rml_utils_processor_ts_spark.plans.incrml import (
+    IncRMLConfig,
+    IncRMLError,
+    LDESTargetConfig,
+    expand_to_incrml,
+)
+from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+
+TM = """
+<http://ex.org/m{i}> a rr:TriplesMap ;
+    rml:logicalSource [
+        a rml:LogicalSource ;
+        rml:source "{source}" ;
+        rml:iterator "//Data" ;
+        rml:referenceFormulation ql:XPath
+    ] ;
+    rr:subjectMap [
+        a rr:SubjectMap ;
+        rr:template "{template}" ;
+        {klass}
+    ] ;
+    {poms} .
+"""
+
+POM_REF = """
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/p{n}> ] ;
+        rr:objectMap [ rml:reference "Prop{n}/@Value" ]
+    ]"""
+
+POM_TEMPLATE = """
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/pt> ] ;
+        rr:objectMap [ rr:template "http://ex.org/instance/{Col2}" ]
+    ]"""
+
+
+def mk_tm(i=0, source="data.xml", template="http://ex.org/x/{@id}", poms=None, klass=""):
+    return TM.format(
+        i=i,
+        source=source,
+        template=template,
+        klass=klass,
+        poms=";".join(poms or [POM_REF.format(n=0)]),
+    )
+
+
+CFG = IncRMLConfig(state_base_path="/tmp/incrml_state")
+
+
+def names_by_event(plan):
+    out = {"create": [], "update": [], "delete": []}
+    for tm in plan.triples_maps:
+        for ev in out:
+            if f":{ev}_TM_" in tm.name:
+                out[ev].append(tm)
+    return out
+
+
+def test_single_tm_expands_to_3():
+    """≙ incrml.test.ts:197 — 1 TM -> 3 (create/update/delete)."""
+    plan = parse_mapping(mk_tm())
+    inc = expand_to_incrml(plan, CFG)
+    assert len(inc.triples_maps) == 3
+    ev = names_by_event(inc)
+    assert all(len(v) == 1 for v in ev.values())
+
+
+def test_two_entities_expand_to_6_with_unique_state_paths():
+    """≙ incrml.test.ts:245,439-446 — 2 distinct templates -> 6 TMs; state
+    paths unique per (entity, event)."""
+    doc = mk_tm(0, template="http://ex.org/a/{@id}") + mk_tm(1, template="http://ex.org/b/{@id}")
+    inc = expand_to_incrml(parse_mapping(doc), CFG)
+    assert len(inc.triples_maps) == 6
+    states = set()
+    for tm in inc.triples_maps:
+        fn = tm.subject_map.term_map.function
+        states.add(fn.params[voc.IDLAB_STATE].constant)
+    assert len(states) == 6
+
+
+def test_same_entity_tms_merge():
+    """Two TMs with the same (template, source, graph) merge into one
+    entity -> 3 TMs whose create/update copy both POM sets (structure doc
+    incrml.ts:85-103)."""
+    doc = mk_tm(0, poms=[POM_REF.format(n=0)]) + mk_tm(1, poms=[POM_REF.format(n=1)])
+    inc = expand_to_incrml(parse_mapping(doc), CFG)
+    assert len(inc.triples_maps) == 3
+    ev = names_by_event(inc)
+    create = ev["create"][0]
+    preds = {p.predicate.constant for p in create.predicate_object_maps}
+    assert "http://ex.org/p0" in preds and "http://ex.org/p1" in preds
+
+
+def test_watched_property_xpath_concat_string():
+    """≙ incrml.test.ts:374-379 — XML source watched properties use the
+    XPath concat form ('prop0=' || expr || '&' || 'prop1=' || expr)."""
+    doc = mk_tm(0, poms=[POM_REF.format(n=0), POM_TEMPLATE])
+    inc = expand_to_incrml(parse_mapping(doc), CFG)
+    update = names_by_event(inc)["update"][0]
+    fn = update.subject_map.term_map.function
+    watched = fn.params[voc.IDLAB_WATCHED_PROPERTY]
+    assert watched.reference == "('prop0=' || Prop0/@Value || '&' || 'prop1=' || Col2)"
+
+
+def test_delete_keeps_only_first_constant_pom_plus_lifecycle():
+    doc = mk_tm(0, poms=[POM_REF.format(n=0), POM_REF.format(n=1)])
+    inc = expand_to_incrml(parse_mapping(doc), CFG)
+    delete = names_by_event(inc)["delete"][0]
+    assert len(delete.predicate_object_maps) == 2  # first POM + lifecycle
+    assert delete.predicate_object_maps[0].predicate.constant == "http://ex.org/p0"
+    assert delete.predicate_object_maps[1].predicate.constant == CFG.lifecycle.predicate
+
+
+def test_class_conflict_raises():
+    """≙ rr:class consistency check (incrml.ts:356-368)."""
+    doc = mk_tm(0, klass="rr:class <http://ex.org/A> ;") + mk_tm(
+        1, klass="rr:class <http://ex.org/B> ;"
+    )
+    with pytest.raises(IncRMLError, match="rr:class"):
+        expand_to_incrml(parse_mapping(doc), CFG)
+
+
+def test_ldes_target_config_attached():
+    cfg = IncRMLConfig(
+        state_base_path="/tmp/s",
+        target=LDESTargetConfig(target_path="file:///out.nq"),
+    )
+    inc = expand_to_incrml(parse_mapping(mk_tm()), cfg)
+    for tm in inc.triples_maps:
+        lt = tm.subject_map.logical_target
+        assert lt is not None and lt.is_ldes and lt.location == "file:///out.nq"
+        assert lt.ldes_version_of_path == voc.DCT_IS_VERSION_OF
+
+
+def test_expanded_plan_executes_cdc_end_to_end(spark, tmp_path):
+    """The full IncRML story: plain mapping -> expand -> execute two
+    snapshots -> create then update events (with per-entity shared state)."""
+    doc = mk_tm(0, template="http://ex.org/e/{@id}", poms=[POM_REF.format(n=0)])
+    cfg = IncRMLConfig(state_base_path=str(tmp_path / "st"))
+    inc = expand_to_incrml(parse_mapping(doc), cfg)
+
+    xml1 = '<root><Data id="1"><Prop0 Value="a"/></Data><Data id="2"><Prop0 Value="b"/></Data></root>'
+    xml2 = '<root><Data id="1"><Prop0 Value="CHANGED"/></Data><Data id="2"><Prop0 Value="b"/></Data></root>'
+    store = StateStore(spark, str(tmp_path / "state_store"))
+
+    def run(xml):
+        from copy import deepcopy
+
+        bound = deepcopy(inc)
+        for tm in bound.triples_maps:
+            tm.logical_source.source = "inline:" + xml
+        ex = PlanExecutor(spark, state_store=store)
+        res = ex.execute(bound)
+        rows = res.triples.collect()
+        store.commit_all(res.state_updates)
+        return {
+            (r["s"], r["o"].rsplit("#", 1)[-1])
+            for r in rows
+            if r["p"] == CFG.lifecycle.predicate
+        }
+
+    ev1 = run(xml1)
+    assert ev1 == {("http://ex.org/e/1", "Create"), ("http://ex.org/e/2", "Create")}
+    ev2 = run(xml2)
+    assert ev2 == {("http://ex.org/e/1", "Update")}

@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB over
+the same sf dir; compare row count, column names, and order-insensitive
+values (columns sorted by name, rows sorted)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rml_utils_processor_ts_spark import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir: str, only: list[str] | None = None):
+    spark = get_spark("oracle_check", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"OK?   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sc, sv = frame_key(s_cols, s_rows)
+        dc, dv = frame_key(d_cols, d_rows)
+        if sc != dc:
+            print(f"FAIL  {name}: columns {sc} vs {dc}")
+            failures.append(name)
+            continue
+        if len(sv) != len(dv):
+            print(f"FAIL  {name}: rows {len(sv)} vs {len(dv)}")
+            failures.append(name)
+            continue
+        if sv != dv:
+            diff = [i for i, (a, b) in enumerate(zip(sv, dv)) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch at sorted rows {diff}")
+            for i in diff[:2]:
+                print(f"      spark : {sv[i]}")
+                print(f"      duckdb: {dv[i]}")
+            failures.append(name)
+            continue
+        print(f"PASS  {name}: {len(sv)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    raise SystemExit(main(sf, only))
