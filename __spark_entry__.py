@@ -274,7 +274,159 @@ def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_exact(mentions, alias_dict).select("mention_id", "mention", "canonical_iri")
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rml_utils_processor_ts_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs, bits=16)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: media table + Arrow-batched feature
+    extraction (mapInPandas); metadata columns oracle-checked."""
+    from rml_utils_processor_ts_spark.operators.multimodal import attach_media, extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(attach_media(docs)).select(
+        "media_id", "media_type", "n_bytes", "content_hash"
+    )
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: top-3 orders by totalprice per customer."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("totalprice"), "rank")
+    )
+
+
+def q_canonicalize_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: rewrite triple subjects through the CC component
+    map of sameAs edges (entity merge, north-star stage)."""
+    from rml_utils_processor_ts_spark.operators.cc import canonicalize_triples
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    triples = customer.select(
+        F.format_string("c:%08d", F.col("c_custkey")).alias("s"),
+        F.lit("IRI").alias("s_termtype"),
+        F.lit(RDFS_LABEL).alias("p"),
+        F.col("c_name").alias("o"),
+        F.lit("Literal").alias("o_termtype"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g"),
+        F.lit("default").alias("target_id"),
+    )
+    edges = customer.select(
+        F.format_string("c:%08d", F.col("c_custkey")).alias("src"),
+        F.format_string("n:%08d", F.col("c_nationkey")).alias("dst"),
+    )
+    return canonicalize_triples(triples, edges).select("s", "p", "o")
+
+
+def q_multi_target_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: triples route to the logical target declared on their subject
+    map; TMs without a target land on 'default'."""
+    mapping = f"""
+ex:map_routed a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/nation.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/nation/{{n_nationkey}}" ;
+        rml:logicalTarget <http://ex.org/target/nations> ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "n_name" ] ] .
+
+<http://ex.org/target/nations> a rmlt:LogicalTarget ;
+    rmlt:serialization formats:N-Quads ;
+    rmlt:target [ a void:Dataset ; void:dataDump <file:///results/nations.nq> ] .
+
+ex:map_default a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/region.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/region/{{r_regionkey}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "r_name" ] ] .
+"""
+    res = _exec(spark, mapping)
+    return res.triples.groupBy("target_id").agg(F.count("*").alias("n"))
+
+
+def q_incrml_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-level IncRML expansion checked as data: the expanded TM names,
+    lifecycle functions, and md5-derived state paths for a fixed input
+    mapping (≙ the reference's expansion assertions,
+    /root/reference/test/incrml.test.ts:197,439-446)."""
+    from rml_utils_processor_ts_spark.plans.incrml import IncRMLConfig, expand_to_incrml
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+    from rml_utils_processor_ts_spark.plans import voc as V
+
+    mapping = """
+<http://ex.org/m0> a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "data.xml" ;
+        rml:iterator "//Data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/x/{@id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/p0> ] ;
+        rr:objectMap [ rml:reference "Prop0/@Value" ] ] .
+"""
+    inc = expand_to_incrml(parse_mapping(mapping), IncRMLConfig(state_base_path="/state"))
+    rows = []
+    for tm in inc.triples_maps:
+        fn = tm.subject_map.term_map.function
+        rows.append(
+            (
+                tm.name,
+                fn.function_iri,
+                fn.params[V.IDLAB_STATE].constant,
+                fn.params.get(V.IDLAB_WATCHED_PROPERTY).reference
+                if V.IDLAB_WATCHED_PROPERTY in fn.params
+                else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "tm_name string, fn string, state_path string, watched string"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; rows-only — bucket boundaries aren't
+    SQL-expressible, recall vs the exact query is asserted in tests)."""
+    from rml_utils_processor_ts_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_planes=6)
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (hot-key guard) — must equal the
+    plain GROUP BY the oracle runs."""
+    from rml_utils_processor_ts_spark.operators.skew import two_phase_agg
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = two_phase_agg(events, ["event_type"], {"n": "count", "total": "sum:value"})
+    return out.select("event_type", "n", F.round("total", 4).alias("total"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "skew_salted_agg": q_skew_salted_agg,
+    "simhash": q_simhash,
+    "multimodal_features": q_multimodal_features,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "canonicalize_triples": q_canonicalize_triples,
+    "multi_target_routing": q_multi_target_routing,
+    "incrml_expansion": q_incrml_expansion,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
@@ -448,8 +600,77 @@ SELECT n.node, c.component FROM nodes n JOIN comp c ON n.c_nationkey = c.c_natio
 """
 
 
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sim = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_TEXT_NORM}, ' '))) AS w
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id AS id, CAST({sim} AS BIGINT) AS simhash FROM votes
+"""
+
+
+_INCRML_EXPANSION_SQL = """
+SELECT * FROM (VALUES
+  ('urn:incrml:create_TM_0', 'http://example.com/idlab/function/explicitCreate',
+   '/state/b053ec6bfd156dd776ba1dfa42338e5f_create_state', CAST(NULL AS VARCHAR)),
+  ('urn:incrml:update_TM_0', 'http://example.com/idlab/function/implicitUpdate',
+   '/state/b053ec6bfd156dd776ba1dfa42338e5f_update_state', '(''prop0='' || Prop0/@Value)'),
+  ('urn:incrml:delete_TM_0', 'http://example.com/idlab/function/implicitDelete',
+   '/state/b053ec6bfd156dd776ba1dfa42338e5f_delete_state', CAST(NULL AS VARCHAR))
+) AS t(tm_name, fn, state_path, watched)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "simhash": _simhash_sql(16),
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+                   strlen(text) AS n_bytes,
+                   md5(text) AS content_hash
+            FROM documents
+        """,
+        "topk_orders_per_customer": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders)
+            SELECT * FROM ranked WHERE rank <= 3
+        """,
+        "canonicalize_triples": """
+            WITH c AS (
+              SELECT printf('c:%08d', c_custkey) AS node, c_nationkey, c_name FROM customer),
+            canon AS (
+              SELECT c_nationkey,
+                     least(min(node), printf('n:%08d', c_nationkey)) AS comp
+              FROM c GROUP BY c_nationkey)
+            SELECT canon.comp AS s,
+                   'http://www.w3.org/2000/01/rdf-schema#label' AS p,
+                   c.c_name AS o
+            FROM c JOIN canon ON c.c_nationkey = canon.c_nationkey
+        """,
+        "multi_target_routing": """
+            SELECT 'http://ex.org/target/nations' AS target_id, count(*) AS n FROM nation
+            UNION ALL
+            SELECT 'default', count(*) FROM region
+        """,
+        "incrml_expansion": _INCRML_EXPANSION_SQL,
+        "skew_salted_agg": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY event_type
+        """,
         "rml_customer_triples": _CUSTOMER_TRIPLES_SQL,
         "rml_join_orders_customer": """
             SELECT 'http://ex.org/order/' || CAST(o_orderkey AS VARCHAR) AS s,

@@ -46,4 +46,10 @@ def get_spark(app_name: str = "rml_spark", cpus: str | None = None):
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # local mode: shuffle files on tmpfs kill disk-latency variance (a
+    # real cluster has NVMe-local shuffle dirs; this is the sandbox twin)
+    shm = "/dev/shm/spark-local"
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     return builder.getOrCreate()

