@@ -114,7 +114,18 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
     src = g.object(node, voc.RML_SOURCE)
     if src is None:
         raise MappingParseError("LogicalSource without rml:source")
-    location = src.value
+    delim = ","
+    if src.kind in ("bnode", "iri") and g.object(src, voc.CSVW + "url") is not None:
+        # csvw:Table source with optional csvw:dialect/csvw:delimiter
+        # (vocab at /root/reference/src/voc.ts:86-93)
+        location = g.object(src, voc.CSVW + "url").value
+        dialect = g.object(src, voc.CSVW + "dialect")
+        if dialect is not None:
+            d = g.object(dialect, voc.CSVW + "delimiter")
+            if d is not None:
+                delim = d.value
+    else:
+        location = src.value
     # A2 analog: resolve declared locations to bound table/paths via a
     # dict lookup instead of rewriting serialized text
     # (/root/reference/src/rml/rml.ts:190-201).
@@ -128,9 +139,6 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
     elif location.startswith("table:"):
         kind = "table"
     it = g.object(node, voc.RML_ITERATOR)
-    delim = ","
-    # csvw dialect (src/voc.ts:86-93): rml:source may be a csvw:Table bnode;
-    # we support the simple string + optional dialect on the source node.
     return LogicalSource(source=location, kind=kind, iterator=it.value if it else None, delimiter=delim)
 
 

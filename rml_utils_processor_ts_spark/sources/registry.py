@@ -256,6 +256,13 @@ def records_df(
     metadata columns when the source is a page table."""
     passthrough = passthrough or []
     src = ls.source
+    if src.startswith("kafka://") or ls.kind == "kafka":
+        raise NotImplementedError(
+            "Kafka logical sources (rmls: vocab, /root/reference/src/voc.ts:26-34) "
+            "need the spark-sql-kafka connector jar on the classpath: "
+            "spark.readStream.format('kafka').option('kafka.bootstrap.servers', broker)"
+            ".option('subscribe', topic) — not bundled in this environment"
+        )
     if src.startswith("table:") or ls.kind == "table":
         path = src[len("table:"):] if src.startswith("table:") else src
         df = spark.read.parquet(path)
@@ -294,7 +301,21 @@ def records_df(
     if ls.kind in ("xpath", "jsonpath"):
         if src.startswith("inline:"):
             docs = spark.createDataFrame([(src[len("inline:"):],)], "doc string")
+        elif src.startswith(("http://", "https://")):
+            # WoT/HTTP API logical source (td:Form/hctl:hasTarget,
+            # /root/reference/test/rml.test.ts:299-320): the document is a
+            # driver-side fetch — one snapshot per run, exactly the
+            # reference's whole-document model.
+            docs = spark.createDataFrame([(fetch_http_source(src),)], "doc string")
         else:
             docs = spark.read.text(src, wholetext=True).withColumnRenamed("value", "doc")
         return _iterate_docs_df(docs, "doc", ls, refs, [])
     raise ValueError(f"unsupported logical source kind {ls.kind!r} for {src!r}")
+
+
+def fetch_http_source(url: str, timeout: float = 15.0) -> str:
+    """Driver-side HTTP fetch of a logical-source document."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
+        return resp.read().decode("utf-8")

@@ -72,3 +72,45 @@ def test_structured_streaming_matches_batch(spark, tmp_path):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s and len(b) > 0
+
+
+def test_streaming_cdc_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful streaming operator (B11 streaming alternative):
+    three micro-batches drive create -> update -> delete for one entity
+    while an unchanged entity stays silent after its create."""
+    import json
+    import os
+
+    from rml_utils_processor_ts_spark.streaming.stateful import OUTPUT_SCHEMA, streaming_cdc
+
+    src = tmp_path / "cdc_src"
+    os.makedirs(src)
+    schema = "iri string, watched_hash string, present boolean, seq long"
+
+    def write_batch(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    # batch 1 only initially; later files arrive while the stream runs
+    write_batch(0, [("e1", "h1", True, 0), ("e2", "h1", True, 1)])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+    q = (
+        streaming_cdc(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(1, [("e1", "h2", True, 2), ("e2", "h1", True, 3)])
+        q.processAllAvailable()
+        write_batch(2, [("e1", "h2", False, 4)])
+        q.processAllAvailable()
+        rows = {(r["iri"], r["lifecycle"]) for r in spark.sql("SELECT * FROM cdc_stream").collect()}
+    finally:
+        q.stop()
+    assert ("e1", "create") in rows and ("e2", "create") in rows
+    assert ("e1", "update") in rows
+    assert ("e1", "delete") in rows
+    assert ("e2", "update") not in rows and ("e2", "delete") not in rows

@@ -1,0 +1,171 @@
+"""Triple-parity harness: precision/recall of our engine's emitted quads
+vs the reference RML-Mapper's expected outputs (north rule: P/R >= 0.95).
+
+The reference has no golden files — its expectations are programmatic
+assertions on parsed quad stores (/root/reference/test/rml.test.ts:419-431,
+480-498, 674-676; incrml.test.ts join semantics). This harness replays
+each fixture through our engine, compares quad sets, and writes
+PARITY.md with per-fixture P/R.
+
+Usage: python tools/parity.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+EX = "http://example.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+GRAPH = EX + "myNamedGraph"
+DCT = "http://purl.org/dc/terms/"
+
+
+def quadset(df):
+    return {(r["s"], r["p"], r["o"], r["g"]) for r in df.collect()}
+
+
+def pr(got: set, expected: set) -> tuple[float, float]:
+    tp = len(got & expected)
+    p = tp / len(got) if got else 1.0
+    r = tp / len(expected) if expected else 1.0
+    return p, r
+
+
+def main() -> int:
+    from fixtures import (
+        JSON_DOC,
+        RML_BASIC,
+        RML_JSON,
+        RML_LDES,
+        RML_STATEFUL,
+        XML_DOC,
+        XML_DOC_V2,
+        XML_DOC_V3_DROPPED,
+    )
+
+    from rml_utils_processor_ts_spark import get_spark
+    from rml_utils_processor_ts_spark.operators.cdc import StateStore
+    from rml_utils_processor_ts_spark.operators.executor import PlanExecutor, execute_mapping
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+
+    spark = get_spark("parity", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+
+    # F2 basic mapping — rml.test.ts:419-431: exactly these 4 quads
+    expected = {
+        (EX + "001", RDF_TYPE, EX + "Entity", GRAPH),
+        (EX + "001", RDFS_LABEL, "some data", GRAPH),
+        (EX + "002", RDF_TYPE, EX + "Entity", GRAPH),
+        (EX + "002", RDFS_LABEL, "some other data", GRAPH),
+    }
+    got = quadset(
+        execute_mapping(
+            spark, RML_BASIC.format(source="d.xml"), {"d.xml": "inline:" + XML_DOC}
+        ).triples
+    )
+    results.append(("rml.test.ts:419-431 basic 4-quad", *pr(got, expected), len(got), len(expected)))
+
+    # F2 LDES — rml.test.ts:480-498: 8 quads incl. versionOf links; version
+    # IRIs are timestamp-suffixed (our deterministic ts vs the reference's
+    # wall clock — compare on the base-IRI projection like the test does)
+    res = execute_mapping(
+        spark,
+        RML_LDES.format(source="d.xml"),
+        {"d.xml": "inline:" + XML_DOC},
+        version_ts="2024-01-01T00:00:00Z",
+    )
+    rows = res.triples.collect()
+    got_shape = {
+        (r["s"].rsplit("#", 1)[0], r["p"], r["o"].rsplit("#", 1)[0] if r["o_termtype"] == "IRI" else r["o"], r["g"])
+        for r in rows
+    }
+    expected_ldes = {
+        (EX + "001", RDF_TYPE, EX + "Entity", GRAPH),
+        (EX + "001", RDFS_LABEL, "some data", GRAPH),
+        (EX + "001", DCT + "isVersionOf", EX + "001", GRAPH),
+        (EX + "001", DCT + "modified", "2024-01-01T00:00:00Z", GRAPH),
+        (EX + "002", RDF_TYPE, EX + "Entity", GRAPH),
+        (EX + "002", RDFS_LABEL, "some other data", GRAPH),
+        (EX + "002", DCT + "isVersionOf", EX + "002", GRAPH),
+        (EX + "002", DCT + "modified", "2024-01-01T00:00:00Z", GRAPH),
+    }
+    p, r = pr(got_shape, expected_ldes)
+    results.append(("rml.test.ts:480-498 LDES 8-quad", p, r, len(rows), 8))
+
+    # F3 JSON — rml.test.ts:674-676 pattern expectations as a full set
+    expected_json = {
+        ("https://blue-bike.be/stations/101", RDF_TYPE, EX + "BicycleParkingStation", None),
+        ("https://blue-bike.be/stations/101", EX + "name", "Station A", None),
+        ("https://blue-bike.be/stations/101", EX + "availableBikes", "7", None),
+        ("https://blue-bike.be/stations/102", RDF_TYPE, EX + "BicycleParkingStation", None),
+        ("https://blue-bike.be/stations/102", EX + "name", "Station B", None),
+        ("https://blue-bike.be/stations/102", EX + "availableBikes", "0", None),
+    }
+    got = quadset(
+        execute_mapping(spark, RML_JSON.format(source="d.json"), {"d.json": "inline:" + JSON_DOC}).triples
+    )
+    results.append(("rml.test.ts:299-350 JSON mapping", *pr(got, expected_json), len(got), len(expected_json)))
+
+    # CDC sequence — rml.test.ts:800-990: run1 all-Create, run2 Updates,
+    # run3 one Delete (lifecycle events per subject)
+    import tempfile
+
+    store = StateStore(spark, tempfile.mkdtemp(prefix="parity_state_"))
+
+    def run_cdc(doc):
+        plan = parse_mapping(RML_STATEFUL.format(source="d.xml"), {"d.xml": "inline:" + doc})
+        resu = PlanExecutor(spark, state_store=store).execute(plan)
+        rows = resu.triples.collect()
+        store.commit_all(resu.state_updates)
+        return {
+            (r["s"], r["o"].rsplit("#", 1)[-1])
+            for r in rows
+            if r["p"] == EX + "lifeCycleType"
+        }
+
+    ev1 = run_cdc(XML_DOC)
+    ev2 = run_cdc(XML_DOC_V2)
+    ev3 = run_cdc(XML_DOC_V3_DROPPED)
+    exp1 = {(EX + "001", "Create"), (EX + "002", "Create")}
+    exp2 = {(EX + "001", "Update"), (EX + "002", "Update")}
+    exp3 = {(EX + "002", "Delete")}
+    for name, got_ev, exp_ev in [
+        ("rml.test.ts:954-974 CDC run1 creates", ev1, exp1),
+        ("rml.test.ts:800-854 CDC run2 updates", ev2, exp2),
+        ("rml.test.ts CDC run3 delete", ev3, exp3),
+    ]:
+        results.append((name, *pr(got_ev, exp_ev), len(got_ev), len(exp_ev)))
+
+    # report
+    lines = [
+        "# PARITY — triple-level P/R vs reference fixture expectations",
+        "",
+        "Reference expectations are the programmatic quad assertions in",
+        "`/root/reference/test/` (no golden files exist); each fixture is",
+        "replayed through this engine and quad sets compared exactly.",
+        "North-rule gate: P >= 0.95 and R >= 0.95 per fixture.",
+        "",
+        "| fixture (reference assertion) | precision | recall | got | expected |",
+        "|---|---|---|---|---|",
+    ]
+    ok = True
+    for name, p, r, ngot, nexp in results:
+        ok = ok and p >= 0.95 and r >= 0.95
+        lines.append(f"| {name} | {p:.3f} | {r:.3f} | {ngot} | {nexp} |")
+    lines.append("")
+    lines.append(f"**Overall: {'PASS' if ok else 'FAIL'}** (every fixture at P=R=1.0 required in CI)")
+    with open(os.path.join(REPO, "PARITY.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
