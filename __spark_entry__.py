@@ -418,7 +418,46 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n", F.round("total", 4).alias("total"))
 
 
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON value extraction (B3 family) with builtin get_json_object."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+
+
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse: jaccard pairs -> CC clusters -> keep min
+    doc per cluster (rows-only: CC clustering isn't SQL-expressible)."""
+    from rml_utils_processor_ts_spark.operators.dedup import jaccard_pairs, keep_canonical
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, threshold=0.5, block_col="source")
+    return keep_canonical(docs, pairs).select("doc_id")
+
+
+def q_entity_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy linking: char-shingle MinHash LSH between noisy mentions and
+    the alias dictionary (rows-only; exactness asserted in pytest)."""
+    from rml_utils_processor_ts_spark.operators.linking import link_fuzzy
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    alias_dict = (
+        part.select(F.col("p_name").alias("alias")).distinct()
+        .withColumn("canonical_iri", F.concat(F.lit(EX + "part/"), F.md5("alias")))
+    )
+    # mentions: names with a deterministic "typo" (strip last char)
+    mentions = part.select(
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("mention")
+    ).distinct()
+    return link_fuzzy(mentions, alias_dict, min_jaccard=0.4, num_hashes=8, bands=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "json_props_extract": q_json_props_extract,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "entity_link_fuzzy": q_entity_link_fuzzy,
     "skew_salted_agg": q_skew_salted_agg,
     "simhash": q_simhash,
     "multimodal_features": q_multimodal_features,
@@ -667,6 +706,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'default', count(*) FROM region
         """,
         "incrml_expansion": _INCRML_EXPANSION_SQL,
+        "json_props_extract": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+        """,
         "skew_salted_agg": """
             SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
             FROM events GROUP BY event_type

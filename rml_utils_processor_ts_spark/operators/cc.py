@@ -8,8 +8,9 @@ pure DataFrame ops; the driver loop only checks a convergence count.
 
 Scale notes:
   * Each round is two shuffles keyed by node id; AQE handles skew-join
-    splitting for hot hubs, and `salt_hot_keys` pre-splits star hubs
-    whose degree exceeds a threshold.
+    splitting for hot hubs, and the large-star step itself breaks star
+    hubs (every spoke relinks to the component min in one round). For
+    pre-join hot-key splitting see operators/skew.py.
   * `localCheckpoint` every round truncates the lineage so the plan
     doesn't grow exponentially across iterations (a known failure mode
     of iterative DataFrame jobs).
