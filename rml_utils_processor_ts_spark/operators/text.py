@@ -97,15 +97,79 @@ def doc_fingerprint(col: Column, k: int = 5) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per document with every text metric."""
+    """One row per document with every text metric.
+
+    Staged in three selects so the token array is computed ONCE and
+    referenced by name — inlining ``tokens(col)`` into every metric
+    multiplies the Catalyst expression tree combinatorially (measured:
+    >10x analysis+codegen time on the naive single-select form)."""
     c = F.col(text_col)
-    return df.select(
+    toks = F.col("__toks")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    staged = df.select(
         F.col(id_col),
-        whitespace_token_count(c).alias("n_tokens"),
-        bpe_token_count(c).alias("n_bpe_tokens"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        mean_word_length(c).alias("mean_word_len"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
-        doc_fingerprint(c).alias("fingerprint"),
+        c.alias("__text"),
+        tokens(c).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        "__toks",
+        F.size(toks).alias("n_tokens"),
+        bpe_token_count(F.col("__text")).alias("n_bpe_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+    def marker_counter(markers: list[str]):
+        # closure, NOT a default arg: a two-parameter lambda makes
+        # F.filter pass the array index as the second argument
+        arr = F.array(*[F.lit(m) for m in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    lang_scores = [
+        F.size(F.filter(toks, marker_counter(LANG_MARKERS[lang]))).alias(f"__sc_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    k = 5
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    staged = staged.select(
+        "*",
+        *lang_scores,
+        F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint"),
+    )
+
+    len_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    mwl_ok = F.when((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+
+    langs = sorted(LANG_MARKERS)
+    best_lang = F.lit(langs[0])
+    best_score = F.col(f"__sc_{langs[0]}")
+    for lang in langs[1:]:
+        better = F.col(f"__sc_{lang}") > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, F.col(f"__sc_{lang}")).otherwise(best_score)
+
+    return staged.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_bpe_tokens",
+        "stopword_ratio",
+        "mean_word_len",
+        F.round(len_ok + stop_ok + mwl_ok, 6).alias("quality"),
+        F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias("lang_pred"),
+        "fingerprint",
     )

@@ -1,0 +1,127 @@
+"""The end-to-end KG-construction pipeline (north_rule: triple
+extraction -> entity linking -> canonicalization -> graph materialize,
+resumable, lineage-tracked), deployable via
+
+    spark-submit --py-files rml_utils_processor_ts_spark.zip \
+        -m rml_utils_processor_ts_spark.pipeline \
+        --pages /path/pages_parquet --mapping mapping.ttl --out /path/graph
+
+Stages:
+  1. extract   — verify the byte-identical html->text invariant on the
+     page table (BASELINE input_hint) and feed payloads to the mapper;
+  2. map       — RML mapping compiled to a DataFrame plan (executor);
+  3. link      — alias-dictionary broadcast linking over literal objects
+     produces sameAs edges (optional: no dictionary -> skip);
+  4. canonical — connected components over sameAs edges rewrites
+     co-referent IRIs to the component representative;
+  5. materialize — partitioned triple table + per-bucket lineage rows in
+     the same snapshot; a run id already present in committed lineage is
+     skipped (resume-from-snapshot).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.cc import canonicalize_triples
+from .operators.executor import PlanExecutor
+from .operators.linking import link_exact
+from .plans.rml_parser import parse_mapping
+from .sinks.triple_table import completed_runs, write_triple_table
+from .sources.pages import extract_text
+
+
+class ExtractionInvariantError(RuntimeError):
+    pass
+
+
+def verify_extraction(pages: DataFrame, sample_fraction: float | None = None) -> int:
+    """Per-row invariant: text extracted from html bytes must be
+    byte-identical to the stored text column (BASELINE input_hint)."""
+    checked = pages if sample_fraction is None else pages.sample(sample_fraction, seed=42)
+    bad = extract_text(checked).filter(F.col("extracted_text") != F.col("text")).limit(5)
+    rows = bad.select("url").collect()
+    if rows:
+        raise ExtractionInvariantError(
+            f"html->text extraction not byte-identical for urls: {[r['url'] for r in rows]}"
+        )
+    return 0
+
+
+def alias_edges_from_triples(triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Entity linking stage: literal objects matching the alias dictionary
+    produce sameAs edges (subject IRI <-> canonical IRI). Dictionary side
+    broadcast; triple side untouched."""
+    mentions = triples.filter(F.col("o_termtype") == "Literal").select(
+        F.col("s").alias("src"), F.col("o").alias("mention")
+    )
+    linked = link_exact(mentions, alias_dict)
+    return (
+        linked.filter(F.col("canonical_iri").isNotNull())
+        .select("src", F.col("canonical_iri").alias("dst"))
+        .distinct()
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    mapping_turtle: str,
+    out_path: str,
+    run_id: str,
+    alias_dict: DataFrame | None = None,
+    verify_invariant: bool = True,
+) -> dict:
+    """Execute the full pipeline for one snapshot; returns the lineage
+    summary. Safe to re-invoke after a kill: committed run ids short-
+    circuit, partial snapshots are invisible until the pointer moves."""
+    if run_id in completed_runs(spark, out_path):
+        return {"run_id": run_id, "skipped": True, "reason": "already committed"}
+
+    pages = spark.read.parquet(pages_path)
+    if verify_invariant:
+        verify_extraction(pages, sample_fraction=0.05 if pages.rdd.getNumPartitions() > 8 else None)
+
+    plan = parse_mapping(mapping_turtle, {"pages": f"pages:{pages_path}"})
+    result = PlanExecutor(spark).execute(plan)
+    triples = result.triples
+
+    if alias_dict is not None:
+        edges = alias_edges_from_triples(triples, alias_dict)
+        triples = canonicalize_triples(triples, edges)
+
+    summary = write_triple_table(triples, out_path, run_id=run_id)
+    summary["skipped"] = False
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="RML KG-construction pipeline")
+    ap.add_argument("--pages", required=True, help="page-table parquet path")
+    ap.add_argument("--mapping", required=True, help="RML mapping .ttl file")
+    ap.add_argument("--out", required=True, help="triple-table output root")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--alias-dict", help="parquet with alias, canonical_iri columns")
+    ap.add_argument("--cpus", default=None)
+    args = ap.parse_args(argv)
+
+    from . import get_spark
+
+    spark = get_spark("kg_pipeline", cpus=args.cpus)
+    with open(args.mapping) as fh:
+        mapping = fh.read()
+    alias_dict = spark.read.parquet(args.alias_dict) if args.alias_dict else None
+    summary = run_pipeline(
+        spark, args.pages, mapping, args.out, args.run_id, alias_dict=alias_dict
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,90 @@
+"""End-to-end pipeline tests: extract-invariant gate, map -> link ->
+canonicalize -> materialize, kill/restart resume, CLI entry."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rml_utils_processor_ts_spark.pipeline import (
+    ExtractionInvariantError,
+    run_pipeline,
+    verify_extraction,
+)
+from rml_utils_processor_ts_spark.sinks.triple_table import read_triple_table
+from rml_utils_processor_ts_spark.sources.pages import synth_pages
+
+MAPPING = """
+ex:map_pages a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "pages" ;
+        rml:iterator "//data" ;
+        rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://example.org/{@id}" ;
+        rr:class <http://example.org/Entity> ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "@label" ; rr:termType rr:Literal ] ] .
+"""
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pipe") / "pages")
+    synth_pages(spark, 100, partitions=4).write.parquet(p)
+    return p
+
+
+def test_pipeline_end_to_end_with_linking(spark, pages_path, tmp_path):
+    out = str(tmp_path / "graph")
+    # alias dict: two labels of page 0 records map to one canonical entity
+    alias_dict = spark.createDataFrame(
+        [("label 00000000-0 word0", "http://kb/canonical0")],
+        "alias string, canonical_iri string",
+    )
+    summary = run_pipeline(
+        spark, pages_path, MAPPING, out, run_id="r1", alias_dict=alias_dict
+    )
+    assert not summary["skipped"]
+    assert summary["n_triples"] == 400  # 100 pages x 2 records x 2 quads
+    stored = read_triple_table(spark, out)
+    # the linked subject was canonicalized: component min of
+    # {http://example.org/00000000-0, http://kb/canonical0} is http://ex...
+    # (string order) — assert the sameAs merge actually rewrote ONE side
+    subjects = {r["s"] for r in stored.select("s").distinct().collect()}
+    assert "http://example.org/00000000-0" in subjects or "http://kb/canonical0" in subjects
+    assert not ("http://example.org/00000000-0" in subjects and "http://kb/canonical0" in subjects)
+
+
+def test_pipeline_resume_skips_committed_run(spark, pages_path, tmp_path):
+    out = str(tmp_path / "graph")
+    s1 = run_pipeline(spark, pages_path, MAPPING, out, run_id="rX")
+    assert not s1["skipped"]
+    s2 = run_pipeline(spark, pages_path, MAPPING, out, run_id="rX")
+    assert s2["skipped"] and s2["reason"] == "already committed"
+
+
+def test_extraction_invariant_gate(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    assert verify_extraction(pages) == 0
+    corrupted = pages.withColumn(
+        "text", F.when(F.col("url").endswith("01"), F.lit("TAMPERED")).otherwise(F.col("text"))
+    )
+    with pytest.raises(ExtractionInvariantError, match="byte-identical"):
+        verify_extraction(corrupted)
+
+
+def test_pipeline_cli(spark, pages_path, tmp_path):
+    """The spark-submit-shaped entry point."""
+    from rml_utils_processor_ts_spark.pipeline import main
+
+    mapping_file = tmp_path / "m.ttl"
+    mapping_file.write_text(MAPPING)
+    rc = main(
+        [
+            "--pages", pages_path,
+            "--mapping", str(mapping_file),
+            "--out", str(tmp_path / "graph_cli"),
+            "--run-id", "cli1",
+        ]
+    )
+    assert rc == 0
+    assert read_triple_table(spark, str(tmp_path / "graph_cli")).count() == 400
