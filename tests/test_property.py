@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the driver-side front-end and a
+union-find oracle for connected components on pseudo-random graphs."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rml_utils_processor_ts_spark.plans.model import parse_concat_reference
+from rml_utils_processor_ts_spark.plans.turtle import Term, parse_turtle
+from rml_utils_processor_ts_spark.operators.terms import template_parts
+
+# -- Turtle literal round-trip ------------------------------------------------
+
+literal_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters=""),
+    max_size=40,
+)
+
+
+def _escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+@given(literal_text)
+@settings(max_examples=200, deadline=None)
+def test_turtle_literal_roundtrip(s):
+    doc = f'@prefix ex: <http://x/> .\nex:a ex:p "{_escape(s)}" .'
+    triples = parse_turtle(doc)
+    assert triples[-1][2] == Term("literal", s)
+
+
+# -- template compilation structure -------------------------------------------
+
+ref_name = st.text(alphabet="abcdefgh@_.", min_size=1, max_size=8).filter(
+    lambda s: "{" not in s and "}" not in s
+)
+lit_piece = st.text(alphabet="xyz:/-. ", min_size=1, max_size=8)
+
+
+@given(st.lists(st.tuples(lit_piece, ref_name), min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_template_parts_reconstruct(pieces):
+    template = "".join(f"{lit}{{{ref}}}" for lit, ref in pieces)
+    parts = template_parts(template)
+    rebuilt = "".join(v if k == "lit" else "{" + v + "}" for k, v in parts)
+    assert rebuilt == template
+    refs = [v for k, v in parts if k == "ref"]
+    assert refs == [ref for _, ref in pieces]
+
+
+# -- concat-reference decomposition -------------------------------------------
+
+@given(st.lists(st.tuples(st.text(alphabet="pq=&", max_size=6), ref_name), min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_concat_reference_roundtrip(pieces):
+    expr = " || ".join(f"'{lit}' || {ref}" for lit, ref in pieces)
+    parsed = parse_concat_reference(f"({expr})")
+    assert parsed is not None
+    lits = [v for k, v in parsed if k == "lit"]
+    refs = [v for k, v in parsed if k == "ref"]
+    assert lits == [lit for lit, _ in pieces]
+    assert refs == [ref for _, ref in pieces]
+
+
+# -- connected components vs union-find oracle --------------------------------
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # path-compress fully, label by min member
+    comp = {}
+    for node in list(parent):
+        root = find(node)
+        comp.setdefault(root, []).append(node)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for node in members:
+            out[node] = m
+    return out
+
+
+def test_cc_matches_union_find_on_pseudorandom_graph(spark):
+    """Deterministic pseudo-random graph (md5-driven): chains, hubs, and
+    cross links; distributed CC must equal the exact union-find labels."""
+    edges = []
+    for i in range(600):
+        h = int(hashlib.md5(f"e{i}".encode()).hexdigest()[:8], 16)
+        a = f"n{h % 300:04d}"
+        b = f"n{(h // 300) % 300:04d}"
+        if a != b:
+            edges.append((a, b))
+    # a hot hub
+    edges += [("hub0", f"n{i:04d}") for i in range(0, 50)]
+    expected = _union_find_components(edges)
+
+    from rml_utils_processor_ts_spark.operators.cc import connected_components
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
