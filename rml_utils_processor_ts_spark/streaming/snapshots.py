@@ -35,6 +35,11 @@ class SnapshotRunner:
     spark: SparkSession
     state_root: str | None = None
     publisher_ref: str | None = None
+    # A6 trigger semantics (/root/reference/src/rml/rml.ts:416-424):
+    # sources listed here get their data invalidated after every run —
+    # each new snapshot re-executes the mapping; other sources behave as
+    # static dimensions (read once, reused across runs).
+    trigger_sources: set[str] = field(default_factory=set)
     plans: dict[str, MappingPlan] = field(default_factory=dict)
     _buffers: dict[str, list[str]] = field(default_factory=dict)
     _current: dict[str, str] = field(default_factory=dict)
@@ -77,6 +82,10 @@ class SnapshotRunner:
             if not progressed:
                 break
             ran.append(self._run_once())
+            # trigger reset: these sources must receive a NEW snapshot
+            # before the next execution (rml.ts:416-424)
+            for s in self.trigger_sources:
+                self._current.pop(s, None)
         return ran
 
     def _run_once(self) -> ExecutionResult:

@@ -114,3 +114,23 @@ def test_streaming_cdc_applyinpandaswithstate(spark, tmp_path):
     assert ("e1", "update") in rows
     assert ("e1", "delete") in rows
     assert ("e2", "update") not in rows and ("e2", "delete") not in rows
+
+
+def test_trigger_source_requires_fresh_snapshot(spark):
+    """≙ A6 trigger reset (rml.ts:416-424): a trigger source's data is
+    consumed by each run — new snapshots of OTHER sources alone don't
+    re-execute; a fresh trigger snapshot does."""
+    second = RML_BASIC.format(source="dataset/data2.xml").replace(
+        "ex:map_test-mapping_000", "ex:map_test-mapping_001"
+    )
+    runner = SnapshotRunner(spark, trigger_sources={"dataset/data.xml"})
+    runner.add_mapping(RML_BASIC.format(source="dataset/data.xml") + second)
+    assert runner.push_snapshot("dataset/data.xml", XML_DOC) == []
+    assert len(runner.push_snapshot("dataset/data2.xml", XML_DOC)) == 1
+    # non-trigger source updates alone: blocked on the trigger source
+    assert runner.push_snapshot("dataset/data2.xml", XML_DOC_V2) == []
+    # fresh trigger snapshot: runs with the latest non-trigger data
+    ran = runner.push_snapshot("dataset/data.xml", XML_DOC_V2)
+    assert len(ran) == 1
+    got = labels(ran[0])
+    assert (EX + "001", "some new data") in got
