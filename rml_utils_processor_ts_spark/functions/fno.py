@@ -99,4 +99,58 @@ def compile_function(fn: FunctionCall, compile_term: Callable[[TermMap, str], Co
             "not compiled as a pure expression"
         )
 
-    raise ValueError(f"unknown FnO function {iri}")
+    if iri in _EXTRA_FUNCTIONS:
+        return _EXTRA_FUNCTIONS[iri](fn, compile_term)
+
+    raise ValueError(
+        f"unknown FnO function {iri} — register a Column builder with "
+        "rml_utils_processor_ts_spark.functions.fno.register_function"
+    )
+
+
+# -- extensible registry -------------------------------------------------------
+
+_EXTRA_FUNCTIONS: dict[str, Callable] = {}
+
+
+def register_function(iri: str, builder: Callable) -> None:
+    """Register a Column builder for an FnO function IRI. The builder
+    receives (FunctionCall, compile_term) and returns a Column — the
+    extension point mirroring the reference engine's pluggable function
+    registry (SURVEY.md §2.C UDF surface)."""
+    _EXTRA_FUNCTIONS[iri] = builder
+
+
+def _single_param(fn: FunctionCall, compile_term) -> Column:
+    tm = _param(fn, voc.GREL_VALUE_PARAMETER) or next(iter(fn.params.values()), None)
+    if tm is None:
+        raise ValueError(f"{fn.function_iri} needs a parameter")
+    return compile_term(tm, "value")
+
+
+def _register_grel_string_functions() -> None:
+    """Common GREL string transforms (the wrapped engine ships these;
+    they're pure Column expressions here)."""
+    g = voc.GREL
+
+    register_function(g + "toUpperCase", lambda fn, ct: F.upper(_single_param(fn, ct)))
+    register_function(g + "toLowerCase", lambda fn, ct: F.lower(_single_param(fn, ct)))
+    register_function(g + "trim", lambda fn, ct: F.trim(_single_param(fn, ct)))
+    register_function(g + "string_length", lambda fn, ct: F.length(_single_param(fn, ct)).cast("string"))
+
+    def _replace(fn: FunctionCall, ct) -> Column:
+        value = _param(fn, voc.GREL_VALUE_PARAMETER)
+        find = _param(fn, g + "p_string_find")
+        repl = _param(fn, g + "p_string_replace")
+        if value is None or find is None or repl is None:
+            raise ValueError("grel:string_replace needs valueParameter, p_string_find, p_string_replace")
+        if find.constant is None or repl.constant is None:
+            raise ValueError("grel:string_replace find/replace must be constants")
+        import re as _re
+
+        return F.regexp_replace(ct(value, "value"), _re.escape(find.constant), repl.constant)
+
+    register_function(g + "string_replace", _replace)
+
+
+_register_grel_string_functions()
