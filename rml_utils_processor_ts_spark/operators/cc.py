@@ -60,6 +60,22 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     """edges(src,dst) -> (node, component) with component = min node id
     in the component (string comparison if ids are strings — callers
     should zero-pad or cast for numeric semantics)."""
+    spark = edges.sparkSession
+    # Root cause of the sporadic localCheckpoint crashes in this loop:
+    # UnionBase.rewriteConstraints (constraint propagation across union
+    # children whose attribute maps went stale under relation dedup,
+    # Spark 4.1.2). Constraints buy nothing for this loop's plans (no
+    # filters to infer), so disable propagation for its duration.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_before = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        return _cc_loop(edges, max_iterations)
+    finally:
+        spark.conf.set(cp_key, cp_before)
+
+
+def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
     e = _materialize(_canonical_edges(edges))
     prev_sig = None
 
