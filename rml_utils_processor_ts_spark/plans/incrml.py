@@ -92,16 +92,22 @@ def expand_to_incrml(plan: MappingPlan, config: IncRMLConfig) -> MappingPlan:
     """The IncrementalizeRule: plan -> CDC plan."""
     groups: dict[tuple[str, str, str], list[TriplesMap]] = {}
     order: list[tuple[str, str, str]] = []
+    passthrough: list[TriplesMap] = []
     for tm in plan.triples_maps:
         if not tm.predicate_object_maps:
-            continue  # no POMs => nothing to watch/emit (incrml.ts:195)
+            # no POMs => not expanded, but KEPT as-is: join parents need
+            # their original TriplesMap (reference expects 4 TMs for the
+            # join fixture — 3 expanded + the parent,
+            # /root/reference/test/incrml.test.ts:297-298)
+            passthrough.append(tm)
+            continue
         key = tm.group_key()
         if key not in groups:
             groups[key] = []
             order.append(key)
         groups[key].append(tm)
 
-    out: list[TriplesMap] = []
+    out: list[TriplesMap] = list(passthrough)
     for counter, key in enumerate(order):
         template, log_src_key, graph_key = key
         tms = groups[key]
@@ -173,9 +179,10 @@ def _collect_watched_properties(tms: list[TriplesMap]) -> list[str]:
         for pom in tm.predicate_object_maps:
             om = pom.object
             if om is None:
-                for jc in pom.join_conditions:
-                    if jc.child.reference is not None:
-                        add(jc.child.reference)
+                # referencing object map: join conditions are NOT watched
+                # (the reference only inspects object-map value expressions,
+                # incrml.ts:420-456 — asserted by the join fixture's
+                # watched string at test/incrml.test.ts:307-312)
                 continue
             if om.function is not None:
                 walk_fn(om.function)
@@ -274,9 +281,14 @@ def _generate_event_tm(
         poms = [pom for tm in tms for pom in tm.predicate_object_maps] + [lifecycle_pom]
 
     cls = _merged_class(tms)
+    from copy import deepcopy
+
     return TriplesMap(
         name=f"urn:incrml:{event}_TM_{counter}",
-        logical_source=base.logical_source,
+        # own copy per event TM: sharing one LogicalSource object across
+        # the three event TMs makes later per-TM rebinding (source
+        # mutation) silently clobber siblings
+        logical_source=deepcopy(base.logical_source),
         subject_map=SubjectMap(
             term_map=TermMap(function=subject_fn),
             classes=[cls] if cls else [],

@@ -174,3 +174,85 @@ def test_expanded_plan_executes_cdc_end_to_end(spark, tmp_path):
     assert ev1 == {("http://ex.org/e/1", "Create"), ("http://ex.org/e/2", "Create")}
     ev2 = run(xml2)
     assert ev2 == {("http://ex.org/e/1", "Update")}
+
+
+def test_mixed_xml_csv_mapping_6_tms_with_watched_forms():
+    """≙ incrml.test.ts:245-287 — XML TM + CSV TM (different entities) ->
+    6 TMs; XML watched uses the XPath concat form, CSV uses
+    grel:array_join with prop-constants."""
+    doc = """
+<http://ex.org/m0> a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "dataset/data.xml" ;
+        rml:iterator "//Data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/instances/{Property/@Value}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/type> ] ;
+        rr:objectMap [ rr:template "http://ex.org/instance/{AnotherProperty/@Value}" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/someProperty> ] ;
+        rr:objectMap [ rr:constant "Some Value" ] ] .
+
+<http://ex.org/m1> a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "dataset/data.csv" ;
+        rml:referenceFormulation ql:CSV ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/instances/{Column1}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/type> ] ;
+        rr:objectMap [ rr:template "http://ex.org/instance/{Column2}" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/someProperty> ] ;
+        rr:objectMap [ rml:reference "Column3" ] ] .
+"""
+    inc = expand_to_incrml(parse_mapping(doc), CFG)
+    assert len(inc.triples_maps) == 6
+    updates = names_by_event(inc)["update"]
+    watched = {}
+    for tm in updates:
+        fn = tm.subject_map.term_map.function
+        wp = fn.params[voc.IDLAB_WATCHED_PROPERTY]
+        key = "xml" if tm.logical_source.kind == "xpath" else "csv"
+        watched[key] = wp
+    # XML: concat form; constant POM contributes nothing (incrml.test.ts:259-264)
+    assert watched["xml"].reference == "('prop0=' || AnotherProperty/@Value)"
+    # CSV: grel:array_join with prop constants (incrml.test.ts:265-266)
+    fn = watched["csv"].function
+    assert fn.function_iri == voc.GREL_ARRAY_JOIN
+    consts = {tm.constant for k, tm in fn.params.items() if voc.GREL_PARAM_A in k}
+    assert consts == {"prop0=Column2", "prop1=Column3"}
+
+
+def test_join_mapping_keeps_parent_tm_and_excludes_join_refs():
+    """≙ incrml.test.ts:290-327 — join fixture: 4 TMs (3 expanded + the
+    no-POM parent kept as-is); join-condition refs are NOT watched."""
+    doc = """
+<http://ex.org/m0> a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "dataset/data.xml" ;
+        rml:iterator "//Data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/instances/{Property/@Value}" ;
+        rr:graphMap [ a rr:GraphMap ; rr:constant <http://ex.org/myGraph> ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/type> ] ;
+        rr:objectMap [ rr:template "http://ex.org/instance/{AnotherProperty/@Value}" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/joinProperty> ] ;
+        rr:objectMap [ a rr:ObjectMap ;
+            rr:parentTriplesMap <http://ex.org/m1> ;
+            rml:joinCondition [ fnml:functionValue [
+                rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:equal ] ] ;
+                rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "Property/@Value" ] ] ;
+                rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ; rr:objectMap [ rr:parentTermMap [ rml:reference "Property1/@Value" ] ] ]
+            ] ]
+        ] ] .
+
+<http://ex.org/m1> a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "dataset/data2.xml" ;
+        rml:iterator "//Data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/instances/{Property1/@Value}" ] .
+"""
+    inc = expand_to_incrml(parse_mapping(doc), CFG)
+    assert len(inc.triples_maps) == 4
+    names = {tm.name for tm in inc.triples_maps}
+    assert "http://ex.org/m1" in names  # parent kept verbatim
+    update = names_by_event(inc)["update"][0]
+    watched = update.subject_map.term_map.function.params[voc.IDLAB_WATCHED_PROPERTY]
+    assert watched.reference == "('prop0=' || AnotherProperty/@Value)"
