@@ -68,8 +68,8 @@ def main() -> None:
     from rml_utils_processor_ts_spark.operators.executor import execute_mapping
     from rml_utils_processor_ts_spark.sources.pages import synth_pages
 
-    n_pages = int(os.environ.get("RML_BENCH_PAGES", "100000"))
-    pages_path = "/tmp/rml_bench_pages"
+    n_pages = int(os.environ.get("RML_BENCH_PAGES", "800000"))
+    pages_path = "/dev/shm/rml_bench_pages" if os.path.isdir("/dev/shm") else "/tmp/rml_bench_pages"
     synth_pages(spark, n_pages).write.mode("overwrite").parquet(pages_path)
     mapping = f"""
 ex:map_pages a rr:TriplesMap ;

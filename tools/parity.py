@@ -143,6 +143,35 @@ def main() -> int:
     ]:
         results.append((name, *pr(got_ev, exp_ev), len(got_ev), len(exp_ev)))
 
+    # F5 join fixture (test/incrml.test.ts:136-177 semantics): a join
+    # triple exists iff child expr equals parent expr
+    from fixtures import RML_JOIN
+
+    child_xml = """<root>
+        <Data id="c1"><Property Value="k1"/></Data>
+        <Data id="c2"><Property Value="k2"/></Data>
+        <Data id="c3"><Property Value="nomatch"/></Data>
+    </root>"""
+    parent_xml = """<root>
+        <Data id="p1"><Property1 Value="k1"/></Data>
+        <Data id="p2"><Property1 Value="k2"/></Data>
+        <Data id="p3"><Property1 Value="k9"/></Data>
+    </root>"""
+    got = {
+        (r["s"], r["o"])
+        for r in execute_mapping(
+            spark,
+            RML_JOIN.format(parent_source="p.xml", child_source="c.xml"),
+            {"p.xml": "inline:" + parent_xml, "c.xml": "inline:" + child_xml},
+        ).triples.collect()
+        if r["p"] == "http://ex.org/ns/joinProperty"
+    }
+    expected_join = {
+        ("http://ex.org/child/c1", "http://ex.org/parent/p1"),
+        ("http://ex.org/child/c2", "http://ex.org/parent/p2"),
+    }
+    results.append(("incrml.test.ts:136-177 join semantics", *pr(got, expected_join), len(got), 2))
+
     # report
     lines = [
         "# PARITY — triple-level P/R vs reference fixture expectations",
