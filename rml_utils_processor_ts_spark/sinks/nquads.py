@@ -58,11 +58,16 @@ def triples_to_nquad_lines(df: DataFrame) -> DataFrame:
     return df.select(nquad_line_column(df).alias("line"))
 
 
-def write_nquads(df: DataFrame, path: str, partitions: int | None = None) -> None:
-    """Byte-stable export: repartitionByRange(s) + sortWithinPartitions —
-    identical input => identical files (SURVEY.md §4 determinism note)."""
+def write_nquads(df: DataFrame, path: str, partitions: int = 8) -> None:
+    """Byte-stable export: rows hash-partition on the quad content
+    (pmod(xxhash64), a pure function of the data — unlike
+    repartitionByRange, whose sampled boundaries and AQE coalescing vary
+    between runs) and sort within partitions. Identical input =>
+    identical bytes in identical files (SURVEY.md §4: determinism is a
+    correctness requirement for the export invariant)."""
+    key = F.pmod(F.xxhash64("s", "p", "o"), F.lit(partitions))
     lines = (
-        df.repartitionByRange(partitions or 8, F.col("s"), F.col("p"), F.col("o"))
+        df.repartition(partitions, key)
         .sortWithinPartitions("s", "p", "o", "g")
         .select(nquad_line_column(df).alias("value"))
     )
