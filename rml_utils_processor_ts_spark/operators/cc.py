@@ -114,6 +114,23 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
         )
         e = _materialize(small.filter(F.col("u") != F.col("v")).distinct())
 
+        # Converged when every edge points at a component root: a root
+        # never appears as a source, so any (a.v == b.u) chain with a
+        # strictly smaller continuation means another round is needed.
+        # Detects the fixpoint one full round earlier than waiting for
+        # two identical edge sets (a round = 3 materializations; this
+        # check is one semi-join with limit 1).
+        chains = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "inner")
+            .filter(F.col("b.v") < F.col("a.v"))
+            .limit(1)
+            .count()
+        )
+        if chains == 0:
+            break
+        # safety net: stable-signature exit (guards pathological inputs
+        # where the chain check alone might oscillate)
         sig = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # order-independent, no ANSI overflow
