@@ -418,6 +418,31 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n", F.round("total", 4).alias("total"))
 
 
+def q_rml_json_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 iterator explode through the engine: RML mapping over a fixed
+    JSON document (the blue-bike shape, rml.test.ts:299-350) — the oracle
+    is the literal expected quad set."""
+    mapping = """
+ex:map_stations a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "stations.json" ;
+        rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ;
+        rr:template "https://blue-bike.be/stations/{id}" ;
+        rr:class <http://example.org/BicycleParkingStation> ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://example.org/name> ] ;
+        rr:objectMap [ rml:reference "name" ; rr:datatype xsd:string ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://example.org/availableBikes> ] ;
+        rr:objectMap [ rml:reference "bikes_available" ; rr:datatype xsd:integer ] ] .
+"""
+    doc = '[{"id": "101", "name": "Station A", "bikes_available": 7}, {"id": "102", "name": "Station B", "bikes_available": 0}]'
+    res = _exec(spark, mapping, source_bindings={"stations.json": "inline:" + doc})
+    return res.triples.select("s", "p", "o")
+
+
 def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON value extraction (B3 family) with builtin get_json_object."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -455,6 +480,7 @@ def q_entity_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rml_json_iterator": q_rml_json_iterator,
     "json_props_extract": q_json_props_extract,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "entity_link_fuzzy": q_entity_link_fuzzy,
@@ -706,6 +732,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'default', count(*) FROM region
         """,
         "incrml_expansion": _INCRML_EXPANSION_SQL,
+        "rml_json_iterator": """
+            SELECT * FROM (VALUES
+              ('https://blue-bike.be/stations/101', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'http://example.org/BicycleParkingStation'),
+              ('https://blue-bike.be/stations/101', 'http://example.org/name', 'Station A'),
+              ('https://blue-bike.be/stations/101', 'http://example.org/availableBikes', '7'),
+              ('https://blue-bike.be/stations/102', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'http://example.org/BicycleParkingStation'),
+              ('https://blue-bike.be/stations/102', 'http://example.org/name', 'Station B'),
+              ('https://blue-bike.be/stations/102', 'http://example.org/availableBikes', '0')
+            ) AS t(s, p, o)
+        """,
         "json_props_extract": """
             SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
         """,
