@@ -683,6 +683,107 @@ SELECT doc_id AS id, CAST({sim} AS BIGINT) AS simhash FROM votes
 """
 
 
+def _minhash_lsh_pairs_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2, max_bucket: int = 200) -> str:
+    """Full MinHash+LSH pipeline in SQL: signatures -> band buckets
+    (capped) -> candidate self-join -> exact-Jaccard verify — the DuckDB
+    twin of operators/dedup.minhash_dedup_pairs."""
+    rows = num_hashes // bands
+    minhash_cols = ",\n  ".join(f"min(md5('{j}|' || sh)) AS h{j}" for j in range(num_hashes))
+    sep = " || '|' || "
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, %d AS band, md5(%s) AS bh FROM sigs"
+        % (b, sep.join(f"h{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+shingle AS (SELECT doc_id, unnest(gs) AS sh FROM grams),
+sigs AS (SELECT doc_id, {minhash_cols} FROM shingle GROUP BY doc_id),
+banded AS ({band_selects}),
+bucket_sizes AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
+kept AS (SELECT banded.* FROM banded JOIN bucket_sizes USING (band, bh) WHERE n <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+               (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))), 6) AS jaccard
+  FROM cand c JOIN grams ga ON ga.doc_id = c.id_a JOIN grams gb ON gb.doc_id = c.id_b)
+SELECT * FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 6, k: int = 10, dim: int = 64, seed: int = 42) -> str:
+    """LSH-bucketed ANN in SQL: the deterministic hyperplanes (pure md5
+    functions of (seed, plane, dim) — see similarity._hyperplanes) inline
+    as DOUBLE[] literals, so DuckDB reproduces the bucket boundaries
+    bit-for-bit."""
+    from rml_utils_processor_ts_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in w)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for w in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {bits} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, b.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM q JOIN bucketed b ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _fuzzy_link_sql(num_hashes: int = 8, bands: int = 8, min_jaccard: float = 0.4) -> str:
+    """Char-shingle MinHash-LSH fuzzy linking in SQL — the DuckDB twin of
+    operators/linking.link_fuzzy over the part-name mention fixture."""
+    mh = ",\n  ".join("min(md5('%d|' || sh)) AS h%d" % (j, j) for j in range(num_hashes))
+    rows = num_hashes // bands
+    assert rows == 1, "oracle encodes 1-row bands"
+
+    def side(name: str) -> str:
+        return f"""
+{name}_norm AS (SELECT raw AS id, trim(regexp_replace(lower(raw), '\\s+', ' ', 'g')) AS n FROM {name}_src),
+{name}_g AS (SELECT id, list_distinct([substr(n, i, 3) for i in range(1, greatest(len(n) - 2, 1) + 1)]) AS grams FROM {name}_norm),
+{name}_sh AS (SELECT id, grams, unnest(grams) AS sh FROM {name}_g),
+sigs_{name} AS (SELECT id, any_value(grams) AS grams, {mh} FROM {name}_sh GROUP BY id)"""
+
+    def banded(name: str) -> str:
+        return "\nUNION ALL\n".join(
+            "SELECT id, grams, %d AS band, md5(h%d) AS bh FROM sigs_%s" % (b, b, name)
+            for b in range(bands)
+        )
+
+    return f"""
+WITH m_src AS (SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS raw FROM part),
+a_src AS (SELECT DISTINCT p_name AS raw FROM part),
+{side('m')},
+{side('a')},
+banded_m AS ({banded('m')}),
+banded_a AS ({banded('a')}),
+cand AS (
+  SELECT DISTINCT m.id AS mention, a.id AS alias, m.grams AS mg, a.grams AS ag
+  FROM banded_m m JOIN banded_a a ON m.band = a.band AND m.bh = a.bh),
+scored AS (
+  SELECT mention, alias,
+         'http://ex.org/part/' || md5(alias) AS canonical_iri,
+         round(CAST(len(list_intersect(mg, ag)) AS DOUBLE) /
+               (len(mg) + len(ag) - len(list_intersect(mg, ag))), 6) AS jaccard
+  FROM cand),
+filtered AS (SELECT * FROM scored WHERE jaccard >= {min_jaccard}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY mention ORDER BY jaccard DESC, canonical_iri ASC) AS rn FROM filtered)
+SELECT mention, alias, canonical_iri, jaccard FROM ranked WHERE rn = 1
+"""
+
+
 _INCRML_EXPANSION_SQL = """
 SELECT * FROM (VALUES
   ('urn:incrml:create_TM_0', 'http://example.com/idlab/function/explicitCreate',
@@ -798,9 +899,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_signatures": _MINHASH_SQL,
+        "dedup_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_embedding_cosine": _EMB_COSINE_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "text_profile": _TEXT_PROFILE_SQL,
         "events_window_agg": """
             SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
@@ -808,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "cc_components": _CC_SQL,
+        "entity_link_fuzzy": _fuzzy_link_sql(),
         "entity_link_exact": """
             SELECT p_partkey AS mention_id, p_brand AS mention,
                    'http://ex.org/brand/' || replace(lower(p_brand), '#', '_') AS canonical_iri
