@@ -125,19 +125,68 @@ class PlanExecutor:
 
     # -- scans -------------------------------------------------------------
 
+    def _plan_source_refs(self, plan: MappingPlan, by_name: dict[str, TriplesMap]) -> None:
+        """Pre-pass: union every reference used against each logical
+        source across ALL TriplesMaps (subject/POM refs, stateful-function
+        params, join child+parent refs), so the whole plan shares ONE
+        scan/iterate stage per distinct source — the reference re-reads
+        its snapshot file per mapping; we read each source once."""
+        self._source_refs: dict[str, set[str]] = {}
+
+        def add(ls_key: str, refs) -> None:
+            self._source_refs.setdefault(ls_key, set()).update(refs)
+
+        for tm in plan.triples_maps:
+            add(tm.logical_source.key(), _collect_refs(tm))
+            stateful = stateful_subject_spec(tm.subject_map.term_map)
+            if stateful is not None:
+                for key in (voc.IDLAB_IRI, voc.IDLAB_WATCHED_PROPERTY):
+                    p = stateful.params.get(key)
+                    if p is not None:
+                        add(tm.logical_source.key(), p.references())
+                if self.publisher_ref is not None:
+                    add(tm.logical_source.key(), [self.publisher_ref])
+            for pom in tm.predicate_object_maps:
+                if pom.parent_triples_map is not None:
+                    parent = by_name.get(pom.parent_triples_map)
+                    if parent is not None:
+                        add(
+                            parent.logical_source.key(),
+                            parent.subject_map.term_map.references()
+                            + [r for jc in pom.join_conditions for r in jc.parent.references()],
+                        )
+
     def _records(self, ls: LogicalSource, refs: list[str]) -> DataFrame:
-        key = (ls.key(), tuple(sorted(set(refs))))
+        all_refs = set(refs) | getattr(self, "_source_refs", {}).get(ls.key(), set())
+        key = (ls.key(), tuple(sorted(all_refs)))
         if key not in self._scan_cache:
-            self._scan_cache[key] = records_df(self.spark, ls, sorted(set(refs)), list(self.passthrough))
+            self._scan_cache[key] = records_df(self.spark, ls, sorted(all_refs), list(self.passthrough))
         return self._scan_cache[key]
 
     # -- execution ---------------------------------------------------------
 
     def execute(self, plan: MappingPlan) -> ExecutionResult:
         by_name = {tm.name: tm for tm in plan.triples_maps}
+        self._plan_source_refs(plan, by_name)
         frames: list[DataFrame] = []
         state_updates: dict[str, DataFrame] = {}
+
+        # Operator fusion: every plain TriplesMap (no stateful subject, no
+        # LDES rewrite) over the same logical source projects in ONE pass —
+        # one scan + one explode for the whole group, instead of one scan
+        # per TriplesMap (the reference runs the jar once per mapping file;
+        # a fused group is the Spark-native inverse of that).
+        fuse_groups: dict[str, list[TriplesMap]] = {}
+        rest: list[TriplesMap] = []
         for tm in plan.triples_maps:
+            lt = tm.subject_map.logical_target
+            if stateful_subject_spec(tm.subject_map.term_map) is None and not (lt and lt.is_ldes):
+                fuse_groups.setdefault(tm.logical_source.key(), []).append(tm)
+            else:
+                rest.append(tm)
+        for tms in fuse_groups.values():
+            frames.extend(self._fused_frames(tms, by_name))
+        for tm in rest:
             tm_frames, tm_state = self._execute_tm(tm, by_name)
             frames.extend(tm_frames)
             state_updates.update(tm_state)
@@ -172,6 +221,61 @@ class PlanExecutor:
 
         subject = compile_term_map(tm.subject_map.term_map, resolve, "subject")
         return self._project_tm(tm, records, resolve, subject, by_name)
+
+    def _fused_frames(self, tms: list[TriplesMap], by_name: dict[str, TriplesMap]) -> list[DataFrame]:
+        """Project a group of same-source plain TriplesMaps in one pass:
+        per-record array of fully-formed quad structs (subject/graph/
+        target embedded per struct) -> one explode. Referencing-object-map
+        joins still produce their own frames (they shuffle anyway) but
+        reuse the same record scan."""
+        ls = tms[0].logical_source
+        records = self._records(ls, [])
+        resolve = _resolver(set(records.columns))
+
+        quad_structs: list[Column] = []
+        frames: list[DataFrame] = []
+        for tm in tms:
+            subject = compile_term_map(tm.subject_map.term_map, resolve, "subject")
+            graph = self._graph_column(tm, resolve)
+            target = self._target_id(tm)
+
+            def quad(pred: Column, obj: Column, ttype, dtype, lang) -> Column:
+                return F.struct(
+                    subject.alias("s"),
+                    pred.alias("p"),
+                    obj.cast("string").alias("o"),
+                    F.lit(ttype).alias("o_termtype"),
+                    F.lit(dtype).cast("string").alias("o_datatype"),
+                    F.lit(lang).cast("string").alias("o_lang"),
+                    graph.alias("g"),
+                    F.lit(target).alias("target_id"),
+                )
+
+            for cls in tm.subject_map.classes:
+                quad_structs.append(quad(F.lit(voc.RDF_TYPE), F.lit(cls), "IRI", None, None))
+            for pom in tm.predicate_object_maps:
+                if pom.parent_triples_map is not None:
+                    base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
+                    frames.append(
+                        self._join_pom(tm, pom, base, resolve, graph, target, by_name)
+                    )
+                    continue
+                pred = compile_term_map(pom.predicate, resolve, "predicate")
+                obj = compile_term_map(pom.object, resolve, "object")
+                quad_structs.append(
+                    quad(pred, obj, effective_term_type(pom.object, "object"), pom.object.datatype, pom.object.language)
+                )
+
+        if quad_structs:
+            exploded = (
+                records.withColumn("__q", F.explode(F.array(*quad_structs)))
+                .select("__q.*")
+                .filter(F.col("s").isNotNull() & F.col("o").isNotNull())
+                .withColumn("s_termtype", F.lit("IRI"))
+                .select(*TRIPLE_COLUMNS)
+            )
+            frames.insert(0, exploded)
+        return frames
 
     def _graph_column(self, tm: TriplesMap, resolve) -> Column:
         gm = tm.subject_map.graph_map
