@@ -454,7 +454,8 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster collapse: jaccard pairs -> CC clusters -> keep min
-    doc per cluster (rows-only: CC clustering isn't SQL-expressible)."""
+    doc per cluster. Value-gated: the DuckDB twin computes the transitive
+    closure with a recursive CTE over the same jaccard pairs."""
     from rml_utils_processor_ts_spark.operators.dedup import jaccard_pairs, keep_canonical
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -646,6 +647,26 @@ SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, mean_word_len,
            THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]
            ELSE [array_to_string(w, ' ')] END) AS u(g)) AS fingerprint
 FROM scored
+"""
+
+_KEEP_CANONICAL_SQL = f"""
+WITH RECURSIVE
+{_SHINGLE_CTE.strip().rstrip(',')},
+d AS (SELECT g.doc_id AS id, g.gs AS grams, x.source AS block
+      FROM grams g JOIN documents x ON g.doc_id = x.doc_id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM d a JOIN d b ON a.block = b.block AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS node, least(u, min(v)) AS root FROM reach GROUP BY u)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node > root)
 """
 
 _CC_SQL = """
@@ -898,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "dedup_keep_canonical": _KEEP_CANONICAL_SQL,
         "dedup_minhash_signatures": _MINHASH_SQL,
         "dedup_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -154,10 +154,14 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
 
 def canonicalize_triples(triples: DataFrame, same_as_edges: DataFrame) -> DataFrame:
     """Rewrite subject/object IRIs through the canonical map produced by
-    connected components over sameAs edges (entity merge). The component
-    map is usually small relative to triples -> broadcast join; Spark
-    falls back to shuffle join automatically above the broadcast
-    threshold."""
+    connected components over sameAs edges (entity merge).
+
+    Join strategy is left to Catalyst/AQE: the node->canonical map is
+    proportional to the merged-entity count — small corpora broadcast
+    automatically (under autoBroadcastJoinThreshold), but at web scale
+    the map is billions of rows and a pinned broadcast hint would OOM
+    the driver, so the hint is deliberately absent and the shuffle-join
+    path must stay correct (tested with the threshold disabled)."""
     comp = connected_components(same_as_edges)
     mapping = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node"), F.col("component").alias("canon")
@@ -169,7 +173,7 @@ def canonicalize_triples(triples: DataFrame, same_as_edges: DataFrame) -> DataFr
         if col == "o":
             cond = cond & (t["o_termtype"] == "IRI")
         t = (
-            t.join(F.broadcast(m), cond, "left")
+            t.join(m, cond, "left")
             .withColumn(col, F.coalesce(F.col(f"__{col}_canon"), F.col(col)))
             .drop(f"__{col}_node", f"__{col}_canon")
         )

@@ -30,15 +30,70 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import voc
-from ..plans.model import FunctionCall, TriplesMap
+from ..plans.model import FunctionCall, TermMap, TriplesMap
 from .terms import compile_term_map
 
 STATE_SCHEMA = "iri string, publisher string, watched_hash string"
+
+# The IncRML rewriter emits watched-property fingerprints for non-XML
+# sources as grel:array_join over CONSTANT params of the form
+# 'propN=<reference>' (/root/reference/src/rml/incrml.ts:486-507). The
+# reference's Java FnO implementation resolves the <reference> part
+# dynamically against each record inside implicitUpdate; compiling the
+# constant literally would make the fingerprint identical for every
+# record and updates would never fire for CSV/JSON/table sources.
+_WATCHED_CONST_RE = re.compile(r"^(prop\d+=)(.+)$", re.DOTALL)
+
+
+def _watched_array_join(tm: TermMap) -> FunctionCall | None:
+    if tm.function is not None and tm.function.function_iri == voc.GREL_ARRAY_JOIN:
+        return tm.function
+    return None
+
+
+def compile_watched_term(tm: TermMap, resolve) -> Column:
+    """Compile an idlab-fn:watchedProperty fingerprint expression.
+
+    'propN=<ref>' array_join constants resolve <ref> against the record;
+    a missing property contributes an empty segment (XPath '||' yields
+    the empty string for absent nodes in the reference stack), never a
+    null that would mask changes to the other watched properties."""
+    fn = _watched_array_join(tm)
+    if fn is None:
+        return compile_term_map(tm, resolve, "value")
+    sep_tm = fn.params.get(voc.GREL_PARAM_STRING_SEP)
+    sep = sep_tm.constant if sep_tm is not None and sep_tm.constant is not None else "&"
+    parts: list[Column] = []
+    for key, p in sorted(fn.params.items()):
+        if voc.GREL_PARAM_A not in key:
+            continue
+        m = _WATCHED_CONST_RE.match(p.constant) if p.constant is not None else None
+        if m is not None:
+            parts.append(F.concat(F.lit(m.group(1)), F.coalesce(resolve(m.group(2)), F.lit(""))))
+        else:
+            parts.append(F.coalesce(compile_term_map(p, resolve, "value"), F.lit("")))
+    return F.concat_ws(sep, *parts)
+
+
+def watched_references(tm: TermMap) -> list[str]:
+    """Source references a watchedProperty term reads — including the
+    <ref> parts of 'propN=<ref>' array_join constants, so the executor's
+    scan planning selects the watched columns."""
+    refs = list(tm.references())
+    fn = _watched_array_join(tm)
+    if fn is not None:
+        for key, p in sorted(fn.params.items()):
+            if voc.GREL_PARAM_A in key and p.constant is not None:
+                m = _WATCHED_CONST_RE.match(p.constant)
+                if m is not None and m.group(2) not in refs:
+                    refs.append(m.group(2))
+    return refs
 
 
 class StateStore:
@@ -132,7 +187,7 @@ def execute_stateful_tm(
     subject = compile_term_map(iri_tm, resolve, "subject")
     watched_tm = fn.params.get(voc.IDLAB_WATCHED_PROPERTY)
     watched = (
-        compile_term_map(watched_tm, resolve, "value")
+        compile_watched_term(watched_tm, resolve)
         if watched_tm is not None
         else F.lit("")
     )

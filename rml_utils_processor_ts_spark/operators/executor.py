@@ -136,14 +136,20 @@ class PlanExecutor:
         def add(ls_key: str, refs) -> None:
             self._source_refs.setdefault(ls_key, set()).update(refs)
 
+        from .cdc import watched_references
+
         for tm in plan.triples_maps:
             add(tm.logical_source.key(), _collect_refs(tm))
             stateful = stateful_subject_spec(tm.subject_map.term_map)
             if stateful is not None:
-                for key in (voc.IDLAB_IRI, voc.IDLAB_WATCHED_PROPERTY):
-                    p = stateful.params.get(key)
-                    if p is not None:
-                        add(tm.logical_source.key(), p.references())
+                p = stateful.params.get(voc.IDLAB_IRI)
+                if p is not None:
+                    add(tm.logical_source.key(), p.references())
+                w = stateful.params.get(voc.IDLAB_WATCHED_PROPERTY)
+                if w is not None:
+                    # includes the <ref> parts of 'propN=<ref>' array_join
+                    # constants — the watched columns must reach the scan
+                    add(tm.logical_source.key(), watched_references(w))
                 if self.publisher_ref is not None:
                     add(tm.logical_source.key(), [self.publisher_ref])
             for pom in tm.predicate_object_maps:
@@ -204,10 +210,16 @@ class PlanExecutor:
         refs = _collect_refs(tm)
         stateful = stateful_subject_spec(tm.subject_map.term_map)
         if stateful is not None:
-            for key in (voc.IDLAB_IRI, voc.IDLAB_WATCHED_PROPERTY):
-                p = stateful.params.get(key)
-                if p is not None:
-                    refs = refs + [r for r in p.references() if r not in refs]
+            from .cdc import watched_references
+
+            extra: list[str] = []
+            p = stateful.params.get(voc.IDLAB_IRI)
+            if p is not None:
+                extra.extend(p.references())
+            w = stateful.params.get(voc.IDLAB_WATCHED_PROPERTY)
+            if w is not None:
+                extra.extend(watched_references(w))
+            refs = refs + [r for r in extra if r not in refs]
             if self.publisher_ref is not None and self.publisher_ref not in refs:
                 refs = refs + [self.publisher_ref]
         records = self._records(tm.logical_source, refs)
@@ -236,12 +248,14 @@ class PlanExecutor:
         frames: list[DataFrame] = []
         for tm in tms:
             subject = compile_term_map(tm.subject_map.term_map, resolve, "subject")
+            s_ttype = effective_term_type(tm.subject_map.term_map, "subject")
             graph = self._graph_column(tm, resolve)
             target = self._target_id(tm)
 
-            def quad(pred: Column, obj: Column, ttype, dtype, lang) -> Column:
+            def quad(pred: Column, obj: Column, ttype, dtype, lang, *, subject=subject, s_ttype=s_ttype, graph=graph, target=target) -> Column:
                 return F.struct(
                     subject.alias("s"),
+                    F.lit(s_ttype).alias("s_termtype"),
                     pred.alias("p"),
                     obj.cast("string").alias("o"),
                     F.lit(ttype).alias("o_termtype"),
@@ -271,7 +285,6 @@ class PlanExecutor:
                 records.withColumn("__q", F.explode(F.array(*quad_structs)))
                 .select("__q.*")
                 .filter(F.col("s").isNotNull() & F.col("o").isNotNull())
-                .withColumn("s_termtype", F.lit("IRI"))
                 .select(*TRIPLE_COLUMNS)
             )
             frames.insert(0, exploded)
@@ -302,6 +315,7 @@ class PlanExecutor:
         lt = tm.subject_map.logical_target
         graph = self._graph_column(tm, resolve)
         target_id = self._target_id(tm)
+        s_ttype = effective_term_type(tm.subject_map.term_map, "subject")
 
         structs: list[Column] = list(extra_structs or [])
         for cls in tm.subject_map.classes:
@@ -366,7 +380,7 @@ class PlanExecutor:
                 base.withColumn("__pom", F.explode(F.array(*structs)))
                 .select(
                     F.col("__s").alias("s"),
-                    F.lit("IRI").alias("s_termtype"),
+                    F.lit(s_ttype).alias("s_termtype"),
                     F.col("__pom.p").alias("p"),
                     F.col("__pom.o").alias("o"),
                     F.col("__pom.o_termtype").alias("o_termtype"),
@@ -410,8 +424,15 @@ class PlanExecutor:
         join_exprs_child = [compile_term_map(jc.child, resolve, "value") for jc in pom.join_conditions]
         join_exprs_parent = [compile_term_map(jc.parent, parent_resolve, "value") for jc in pom.join_conditions]
 
+        # predicate/graph may be reference- or template-valued: they read
+        # record columns, so they must be computed INTO the child side
+        # before projecting it down to (s, join keys) — evaluating them
+        # after the join would reference columns no longer in scope.
+        pred = compile_term_map(pom.predicate, resolve, "predicate")
         child_side = child_base.select(
             F.col("__s").alias("s"),
+            pred.alias("__p"),
+            graph.alias("__g"),
             *[e.alias(f"__ck{i}") for i, e in enumerate(join_exprs_child)],
         )
         parent_side = parent_records.select(
@@ -424,17 +445,18 @@ class PlanExecutor:
             c = F.col(f"__ck{i}") == F.col(f"__pk{i}")
             cond = c if cond is None else (cond & c)
 
-        pred = compile_term_map(pom.predicate, resolve, "predicate")
+        s_ttype = effective_term_type(tm.subject_map.term_map, "subject")
+        o_ttype = effective_term_type(parent_tm.subject_map.term_map, "subject")
         joined = child_side.join(parent_side, cond, "inner")
         return joined.select(
             F.col("s"),
-            F.lit("IRI").alias("s_termtype"),
-            pred.alias("p"),
+            F.lit(s_ttype).alias("s_termtype"),
+            F.col("__p").alias("p"),
             F.col("__po").alias("o"),
-            F.lit("IRI").alias("o_termtype"),
+            F.lit(o_ttype).alias("o_termtype"),
             F.lit(None).cast("string").alias("o_datatype"),
             F.lit(None).cast("string").alias("o_lang"),
-            graph.alias("g"),
+            F.col("__g").alias("g"),
             F.lit(target_id).alias("target_id"),
         )
 

@@ -52,6 +52,7 @@ def split_hot_keys(
     key: str,
     hot_threshold: int = 100_000,
     n_salt: int = 8,
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Skewed equi-join: detect hot keys on the big side (one cheap
     count), replicate the small side n_salt times for hot keys, salt the
@@ -61,8 +62,11 @@ def split_hot_keys(
     hot = counts.filter(F.col("__n") >= hot_threshold).select(key)
 
     big_flag = big.join(F.broadcast(hot.withColumn("__hot", F.lit(True))), key, "left")
+    # salt from row CONTENT (all columns), never from
+    # monotonically_increasing_id: partition placement must be identical
+    # across runs/retries (determinism rule, SURVEY.md §7 hard part 4)
     big_hot = big_flag.filter(F.col("__hot").isNotNull()).drop("__hot").withColumn(
-        "__salt", salt_column(F.xxhash64(F.monotonically_increasing_id()), n_salt)
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit("salt")), F.lit(n_salt)).cast("int")
     )
     big_cold = big_flag.filter(F.col("__hot").isNull()).drop("__hot")
 
@@ -70,6 +74,9 @@ def split_hot_keys(
     small_hot = small.join(F.broadcast(hot), key, "left_semi").select("*", salt_values)
     small_cold = small.join(F.broadcast(hot), key, "left_anti")
 
-    joined_hot = big_hot.join(small_hot, [key, "__salt"], "inner").drop("__salt")
+    joined_hot = big_hot.join(small_hot, [key, "__salt"], "inner")
     joined_cold = big_cold.join(small_cold, key, "inner")
-    return joined_hot.unionByName(joined_cold)
+    if keep_salt:
+        # exposes the (deterministic) partition assignment for tests/audit
+        return joined_hot.unionByName(joined_cold.withColumn("__salt", F.lit(None).cast("int")))
+    return joined_hot.drop("__salt").unionByName(joined_cold)

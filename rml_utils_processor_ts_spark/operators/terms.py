@@ -62,7 +62,11 @@ def compile_reference(ref: str, resolve: RefResolver) -> Column:
     parts = parse_concat_reference(ref)
     if parts is None:
         return resolve(ref)
-    cols = [F.lit(v) if k == "lit" else resolve(v) for k, v in parts]
+    # XPath '||' yields the empty string for a missing node (reference
+    # stack semantics): coalesce each ref so one absent watched property
+    # contributes an empty segment instead of nulling the whole
+    # fingerprint and masking changes to the other properties.
+    cols = [F.lit(v) if k == "lit" else F.coalesce(resolve(v), F.lit("")) for k, v in parts]
     return F.concat(*cols)
 
 
@@ -97,7 +101,10 @@ def effective_term_type(tm: TermMap, position: str) -> str:
         if tm.reference is not None:
             return "Literal"
         if tm.constant is not None:
-            return "IRI" if tm.constant_is_iri or tm.constant.startswith("http") else "Literal"
+            # the parser records the RDF term kind; a string literal that
+            # merely starts with "http" stays a Literal (R2RML: constant
+            # object maps take the term type of the constant itself)
+            return "IRI" if tm.constant_is_iri else "Literal"
         if tm.function is not None:
             return "Literal"
         return "IRI"  # template

@@ -93,9 +93,19 @@ def _parse_function(g: Graph, fn_node: Term) -> FunctionCall:
             if parent_tm_node is not None:
                 ptm = _parse_term_map(g, parent_tm_node)
                 ptm.datatype = "urn:rml-spark:parentTermMap"  # marker
-                params[pred_term.value] = ptm
+                tm = ptm
             else:
-                params[pred_term.value] = _parse_term_map(g, obj_node)
+                tm = _parse_term_map(g, obj_node)
+            # repeated parameters (grel:p_array_a appears once per element
+            # of an array_join, /root/reference/src/rml/incrml.ts:496-507)
+            # get positional '#N' suffixes instead of clobbering each other
+            key = pred_term.value
+            if key in params:
+                n = 1
+                while f"{key}#{n}" in params:
+                    n += 1
+                key = f"{key}#{n}"
+            params[key] = tm
     if function_iri is None:
         raise MappingParseError("functionValue without fno:executes")
     return FunctionCall(function_iri=function_iri, params=params)

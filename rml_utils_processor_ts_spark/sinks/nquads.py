@@ -65,10 +65,10 @@ def write_nquads(df: DataFrame, path: str, partitions: int = 8) -> None:
     between runs) and sort within partitions. Identical input =>
     identical bytes in identical files (SURVEY.md §4: determinism is a
     correctness requirement for the export invariant)."""
-    key = F.pmod(F.xxhash64("s", "p", "o"), F.lit(partitions))
-    lines = (
-        df.repartition(partitions, key)
-        .sortWithinPartitions("s", "p", "o", "g")
-        .select(nquad_line_column(df).alias("value"))
-    )
+    # partition + sort on the fully serialized line: two quads equal on
+    # (s,p,o,g) but differing in o_termtype/o_datatype/o_lang serialize
+    # differently, so the line is the only key that makes the export
+    # byte-stable for every distinct row the dedupe keeps.
+    lines = df.select(nquad_line_column(df).alias("value"))
+    lines = lines.repartition(partitions, F.pmod(F.xxhash64("value"), F.lit(partitions))).sortWithinPartitions("value")
     lines.write.mode("overwrite").text(path)

@@ -103,11 +103,12 @@ class SnapshotRunner:
                 self.spark, state_store=store, publisher_ref=self.publisher_ref
             )
             result = ex.execute(bound)
-            # materialize before state commit (the run's output must not
-            # observe its own state update)
-            result.triples = self.spark.createDataFrame(
-                result.triples.collect(), result.triples.schema
-            )
+            # Materialize before the state commit: the run's output must
+            # not observe its own state update. Executor-side checkpoint
+            # (never a driver collect — a table-backed source would pull
+            # the whole triple set through the driver; on a cluster this
+            # is checkpoint() against the checkpoint dir).
+            result.triples = _materialize_triples(result.triples)
             if store is not None:
                 store.commit_all(result.state_updates)
             merged = result if merged is None else ExecutionResult(
@@ -116,6 +117,24 @@ class SnapshotRunner:
         assert merged is not None, "no mappings registered"
         self.results.append(merged)
         return merged
+
+
+def _materialize_triples(df):
+    """localCheckpoint with the Spark 4.1.2 guard: constraint propagation
+    disabled during normalization (UnionBase.rewriteConstraints crashes on
+    CDC plans whose union branches share a relation — same root cause as
+    operators/cc.py), RDD-roundtrip fallback."""
+    spark = df.sparkSession
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_before = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        try:
+            return df.localCheckpoint(eager=True)
+        except Exception:  # noqa: BLE001 — Py4JJavaError, resolver bug
+            return spark.createDataFrame(df.rdd, df.schema).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(cp_key, cp_before)
 
 
 def _rebind_tm(tm, bindings: dict[str, str]):

@@ -72,6 +72,105 @@ def test_delete_on_dropped_entity(spark, store):
     assert preds == {LIFECYCLE, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}
 
 
+RML_STATEFUL_CSV = """
+ex:csv_source a rml:LogicalSource ;
+    rml:source "{source}" ;
+    rml:referenceFormulation ql:CSV .
+
+ex:map_csv_update a rr:TriplesMap ;
+    rml:logicalSource ex:csv_source ;
+    rr:subjectMap [
+        fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:implicitUpdate ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:iri ; rr:objectMap [ rr:template "http://example.org/{{Column1}}" ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:watchedProperty ; rr:objectMap [
+                fnml:functionValue [
+                    rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant grel:array_join ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:param_string_sep ; rr:objectMap [ rr:constant "&" ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:p_array_a ; rr:objectMap [ rr:constant "prop0=Column2" ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:p_array_a ; rr:objectMap [ rr:constant "prop1=Column3" ] ]
+                ] ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:state ; rr:objectMap [ rr:constant "/tmp/csv_update_state" ; rr:dataType xsd:string ] ]
+        ] ;
+    ] ;
+    rr:predicateObjectMap [
+        rr:predicate <http://example.org/value> ;
+        rr:objectMap [ rml:reference "Column2" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicate ex:lifeCycleType ;
+        rr:objectMap [ rr:constant as:Update ; rr:termType rr:IRI ] ] .
+"""
+
+
+def run_csv_snapshot(spark, store, csv_text):
+    plan = parse_mapping(
+        RML_STATEFUL_CSV.format(source="dataset/data.csv"),
+        {"dataset/data.csv": "inline:" + csv_text},
+    )
+    ex = PlanExecutor(spark, state_store=store)
+    result = ex.execute(plan)
+    rows = result.triples.collect()
+    store.commit_all(result.state_updates)
+    events = {}
+    for r in rows:
+        if r["p"] == LIFECYCLE:
+            events.setdefault(r["o"].rsplit("#", 1)[-1], set()).add(r["s"])
+    return rows, events
+
+
+def test_csv_update_sequence(spark, store):
+    """Non-XML watched properties ('propN=<ref>' grel:array_join constants,
+    the IncRML-generated form for CSV/JSON/table sources) must resolve the
+    <ref> part against each record — the fingerprint was constant before
+    the fix and implicitUpdate never fired (ADVICE r01 high)."""
+    csv_v1 = "Column1,Column2,Column3\n001,a,x\n002,b,y\n"
+    csv_v2 = "Column1,Column2,Column3\n001,A,x\n002,b,y\n"
+    _, ev1 = run_csv_snapshot(spark, store, csv_v1)
+    assert ev1 == {}  # first snapshot registers state; update TM silent
+    rows2, ev2 = run_csv_snapshot(spark, store, csv_v2)
+    assert ev2.get("Update") == {EX + "001"}, "changed Column2 must fire an update"
+    values = {(r["s"], r["o"]) for r in rows2 if r["p"] == EX + "value"}
+    assert (EX + "001", "A") in values
+    _, ev3 = run_csv_snapshot(spark, store, csv_v2)
+    assert ev3 == {}, "identical snapshot must be silent"
+
+
+def test_watched_fingerprint_missing_property_not_masked(spark, store):
+    """One absent watched attribute must not null the whole XPath-concat
+    fingerprint (ADVICE r01 medium): a change to the OTHER watched
+    property still fires an update."""
+    mapping = """
+ex:map_upd a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "{source}" ;
+        rml:iterator "//data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [
+        fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:implicitUpdate ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:iri ; rr:objectMap [ rr:template "http://example.org/{{@id}}" ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:watchedProperty ;
+                rr:objectMap [ rml:reference "('prop0=' || @label || 'prop1=' || @other)" ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:state ; rr:objectMap [ rr:constant "/tmp/mask_state" ; rr:dataType xsd:string ] ]
+        ] ;
+    ] ;
+    rr:predicateObjectMap [
+        rr:predicate ex:lifeCycleType ;
+        rr:objectMap [ rr:constant as:Update ; rr:termType rr:IRI ] ] .
+"""
+
+    def run(doc):
+        plan = parse_mapping(mapping.format(source="d.xml"), {"d.xml": "inline:" + doc})
+        ex = PlanExecutor(spark, state_store=store)
+        result = ex.execute(plan)
+        rows = result.triples.collect()
+        store.commit_all(result.state_updates)
+        return {r["s"] for r in rows if r["p"] == LIFECYCLE}
+
+    # @other is never present; @label changes between snapshots
+    assert run('<r><data id="001" label="a"/></r>') == set()
+    assert run('<r><data id="001" label="b"/></r>') == {EX + "001"}
+    assert run('<r><data id="001" label="b"/></r>') == set()
+
+
 def test_per_publisher_state_isolation(spark, store):
     """≙ per-publisher CDC state (rml.test.ts:928-990 / rml.ts:302-320):
     a second publisher's first snapshot emits Creates and does NOT
