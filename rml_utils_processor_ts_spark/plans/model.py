@@ -122,9 +122,12 @@ class LogicalSource:
     delimiter: str = ","
     # pages-formulation extras: which page column holds the payload
     payload_column: str = "text"
+    # connector options (Kafka broker/topic/groupId, HTTP headers, ...)
+    options: dict[str, str] = field(default_factory=dict)
 
     def key(self) -> str:
-        return f"{self.source}\x00{self.iterator or ''}\x00{self.kind}"
+        opts = "\x01".join(f"{k}={v}" for k, v in sorted(self.options.items()))
+        return f"{self.source}\x00{self.iterator or ''}\x00{self.kind}\x00{opts}"
 
 
 @dataclass

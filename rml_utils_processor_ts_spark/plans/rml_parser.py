@@ -125,6 +125,8 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
     if src is None:
         raise MappingParseError("LogicalSource without rml:source")
     delim = ","
+    options: dict[str, str] = {}
+    src_types = {t.value for t in g.objects(src, voc.RDF_TYPE)} if src.kind in ("bnode", "iri") else set()
     if src.kind in ("bnode", "iri") and g.object(src, voc.CSVW + "url") is not None:
         # csvw:Table source with optional csvw:dialect/csvw:delimiter
         # (vocab at /root/reference/src/voc.ts:86-93)
@@ -134,6 +136,42 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
             d = g.object(dialect, voc.CSVW + "delimiter")
             if d is not None:
                 delim = d.value
+    elif src.kind in ("bnode", "iri") and g.object(src, voc.TD_HAS_FORM) is not None:
+        # WoT HTTP source description: rml:source [ a td:PropertyAffordance ;
+        # td:hasForm [ a td:Form ; hctl:hasTarget <url> ; ... ] ]
+        # (/root/reference/test/rml.test.ts:299-320)
+        form = g.object(src, voc.TD_HAS_FORM)
+        target = g.object(form, voc.HCTL_HAS_TARGET)
+        if target is None:
+            raise MappingParseError("td:Form without hctl:hasTarget")
+        location = target.value
+        ctype = g.object(form, voc.HCTL_FOR_CONTENT_TYPE)
+        if ctype is not None:
+            options["http.content_type"] = ctype.value
+    elif src.kind in ("bnode", "iri") and (
+        voc.RMLS_KAFKA_STREAM in src_types or g.object(src, voc.RMLS_BROKER) is not None
+    ):
+        # Kafka stream source (rmls: vocab, /root/reference/src/voc.ts:26-34):
+        # rml:source [ a rmls:KafkaStream ; rmls:broker "host:port" ;
+        # rmls:topic "t" ; rmls:groupId "g" ]
+        broker = g.object(src, voc.RMLS_BROKER)
+        if broker is None:
+            host = g.object(src, voc.RMLS_HOST_NAME)
+            port = g.object(src, voc.RMLS_PORT)
+            if host is None or port is None:
+                raise MappingParseError("rmls:KafkaStream needs rmls:broker or rmls:hostName+rmls:port")
+            broker_val = f"{host.value}:{port.value}"
+        else:
+            broker_val = broker.value
+        topic = g.object(src, voc.RMLS_TOPIC)
+        if topic is None:
+            raise MappingParseError("rmls:KafkaStream without rmls:topic")
+        location = f"kafka://{broker_val}/{topic.value}"
+        options["kafka.bootstrap.servers"] = broker_val
+        options["subscribe"] = topic.value
+        group = g.object(src, voc.RMLS_GROUP_ID)
+        if group is not None:
+            options["kafka.group.id"] = group.value
     else:
         location = src.value
     # A2 analog: resolve declared locations to bound table/paths via a
@@ -149,7 +187,13 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
     elif location.startswith("table:"):
         kind = "table"
     it = g.object(node, voc.RML_ITERATOR)
-    return LogicalSource(source=location, kind=kind, iterator=it.value if it else None, delimiter=delim)
+    return LogicalSource(
+        source=location,
+        kind=kind,
+        iterator=it.value if it else None,
+        delimiter=delim,
+        options=options,
+    )
 
 
 def _parse_logical_target(g: Graph, node: Term) -> LogicalTarget:

@@ -95,6 +95,21 @@ GREL_PARAM_A = GREL + "p_array_a"
 GREL_PARAM_STRING_SEP = GREL + "param_string_sep"
 GREL_BOOL_B = GREL + "bool_b"
 
+# rmls kafka streams (src/voc.ts:26-34)
+RMLS_KAFKA_STREAM = RMLS + "KafkaStream"
+RMLS_BROKER = RMLS + "broker"
+RMLS_TOPIC = RMLS + "topic"
+RMLS_GROUP_ID = RMLS + "groupId"
+RMLS_HOST_NAME = RMLS + "hostName"
+RMLS_PORT = RMLS + "port"
+
+# WoT HTTP source descriptions (test/rml.test.ts:299-320)
+TD_PROPERTY_AFFORDANCE = TD + "PropertyAffordance"
+TD_HAS_FORM = TD + "hasForm"
+TD_FORM = TD + "Form"
+HCTL_HAS_TARGET = HCTL + "hasTarget"
+HCTL_FOR_CONTENT_TYPE = HCTL + "forContentType"
+
 # rml-target / ldes (src/voc.ts:36-45)
 RMLT_LOGICAL_TARGET = RMLT + "LogicalTarget"
 RMLT_EVENT_STREAM_TARGET = RMLT + "EventStreamTarget"
@@ -138,6 +153,9 @@ PREFIXES = {
     "as": AS,
     "formats": FORMATS,
     "csvw": CSVW,
+    "rmls": RMLS,
+    "td": TD,
+    "hctl": HCTL,
     "ex": "http://example.org/",
 }
 

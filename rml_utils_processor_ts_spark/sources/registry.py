@@ -257,12 +257,8 @@ def records_df(
     passthrough = passthrough or []
     src = ls.source
     if src.startswith("kafka://") or ls.kind == "kafka":
-        raise NotImplementedError(
-            "Kafka logical sources (rmls: vocab, /root/reference/src/voc.ts:26-34) "
-            "need the spark-sql-kafka connector jar on the classpath: "
-            "spark.readStream.format('kafka').option('kafka.bootstrap.servers', broker)"
-            ".option('subscribe', topic) — not bundled in this environment"
-        )
+        stream = kafka_stream_df(spark, ls)
+        return kafka_records_df(stream, ls, refs, passthrough)
     if src.startswith("table:") or ls.kind == "table":
         path = src[len("table:"):] if src.startswith("table:") else src
         df = spark.read.parquet(path)
@@ -311,6 +307,59 @@ def records_df(
             docs = spark.read.text(src, wholetext=True).withColumnRenamed("value", "doc")
         return _iterate_docs_df(docs, "doc", ls, refs, [])
     raise ValueError(f"unsupported logical source kind {ls.kind!r} for {src!r}")
+
+
+def kafka_source_options(ls: LogicalSource) -> dict[str, str]:
+    """Option dict for ``spark.readStream.format('kafka')`` — pure plan
+    construction from the parsed rmls: source (broker/topic/groupId,
+    /root/reference/src/voc.ts:26-34). ``kafka://broker/topic`` locations
+    without parsed options decompose here."""
+    opts = {"startingOffsets": "earliest"}
+    opts.update({k: v for k, v in ls.options.items() if not k.startswith("http.")})
+    if "kafka.bootstrap.servers" not in opts or "subscribe" not in opts:
+        rest = ls.source[len("kafka://"):] if ls.source.startswith("kafka://") else ls.source
+        broker, _, topic = rest.partition("/")
+        if not broker or not topic:
+            raise ValueError(f"kafka source {ls.source!r}: need kafka://broker/topic or rmls options")
+        opts.setdefault("kafka.bootstrap.servers", broker)
+        opts.setdefault("subscribe", topic)
+    return opts
+
+
+def kafka_stream_df(spark: SparkSession, ls: LogicalSource) -> DataFrame:
+    """Build the Structured-Streaming Kafka scan. The plan (format +
+    options) is fully wired here; resolving it needs the
+    spark-sql-kafka connector on the classpath, so the load error is
+    rethrown with the wiring context."""
+    reader = spark.readStream.format("kafka")
+    for k, v in sorted(kafka_source_options(ls).items()):
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:  # noqa: BLE001 — connector jar absent
+        raise NotImplementedError(
+            f"Kafka logical source {ls.source!r}: plan wired "
+            f"(format=kafka, options={kafka_source_options(ls)}) but the "
+            "spark-sql-kafka connector jar is not on the classpath — add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 via --packages"
+        ) from e
+
+
+def kafka_records_df(
+    kafka_df: DataFrame, ls: LogicalSource, refs: list[str], passthrough: list[str] | None = None
+) -> DataFrame:
+    """Kafka-shaped frame (binary ``value`` + topic/partition/offset/
+    timestamp) -> record rows: each message value is one document run
+    through the same iterator-explode stage as any other source. Works
+    identically on the streaming scan and on a static Kafka-shaped frame
+    (how tests exercise the transformation without a broker)."""
+    keep = [c for c in (passthrough or []) if c in kafka_df.columns]
+    docs = kafka_df.select(*keep, F.col("value").cast("string").alias("doc"))
+    payload_kind = ls.kind
+    if payload_kind in ("kafka", "pages"):
+        payload_kind = "jsonpath" if (ls.iterator or "$").startswith("$") else "xpath"
+    inner = LogicalSource(source=ls.source, kind=payload_kind, iterator=ls.iterator)
+    return _iterate_docs_df(docs, "doc", inner, refs, keep)
 
 
 def fetch_http_source(url: str, timeout: float = 15.0) -> str:

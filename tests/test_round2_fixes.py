@@ -141,7 +141,8 @@ def test_canonicalize_triples_shuffle_join_path(spark):
     rows; a forced broadcast OOMs)."""
     from rml_utils_processor_ts_spark.operators.cc import canonicalize_triples
 
-    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").limit(200)
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n_customers = customer.count()
     triples = customer.select(
         F.format_string("c:%08d", F.col("c_custkey")).alias("s"),
         F.lit("IRI").alias("s_termtype"),
@@ -172,7 +173,7 @@ def test_canonicalize_triples_shuffle_join_path(spark):
         for k, v in confs.items():
             if v is not None:
                 spark.conf.set(k, v)
-    assert shuffled == default and len(default) == 200
+    assert shuffled == default and len(default) == n_customers
 
 
 def test_fused_group_mixed_subject_termtypes(spark):

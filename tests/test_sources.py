@@ -82,6 +82,110 @@ ex:m a rr:TriplesMap ;
         server.shutdown()
 
 
+def test_wot_http_source_description(spark):
+    """WoT HTTP source shape (td:PropertyAffordance/td:hasForm/
+    hctl:hasTarget, /root/reference/test/rml.test.ts:299-320): the target
+    URL inside the blank-node form is the source location — end-to-end
+    against the local fixture server."""
+    server = http.server.HTTPServer(("127.0.0.1", 0), _Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        mapping = f"""
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [
+        a rml:LogicalSource ;
+        rml:source [
+            a td:PropertyAffordance ;
+            td:hasForm [
+                a td:Form ;
+                hctl:hasTarget "http://127.0.0.1:{port}/pub/location" ;
+                hctl:forContentType "application/json"
+            ]
+        ] ;
+        rml:referenceFormulation ql:JSONPath ;
+        rml:iterator "$.[*]"
+    ] ;
+    rr:subjectMap [ rr:template "https://blue-bike.be/stations/{{id}}" ;
+        rr:class <http://example.org/BicycleParkingStation> ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://example.org/name> ] ;
+        rr:objectMap [ rml:reference "name" ] ] .
+"""
+        plan = parse_mapping(mapping)
+        ls = plan.triples_maps[0].logical_source
+        assert ls.source == f"http://127.0.0.1:{port}/pub/location"
+        assert ls.options.get("http.content_type") == "application/json"
+        res = execute_mapping(spark, mapping)
+        rows = res.triples.collect()
+        assert ("https://blue-bike.be/stations/101", "Station A") in {
+            (r["s"], r["o"]) for r in rows if r["p"].endswith("name")
+        }
+    finally:
+        server.shutdown()
+
+
+KAFKA_MAPPING = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source [
+            a rmls:KafkaStream ;
+            rmls:broker "localhost:9092" ;
+            rmls:groupId "community-group" ;
+            rmls:topic "stations"
+        ] ;
+        rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/{id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/p> ] ;
+        rr:objectMap [ rml:reference "v" ] ] .
+"""
+
+
+def test_kafka_rmls_source_parses_to_plan():
+    """rmls:KafkaStream blank-node sources (vocab at
+    /root/reference/src/voc.ts:26-34) parse to a kafka:// location with
+    the connector options wired."""
+    from rml_utils_processor_ts_spark.sources.registry import kafka_source_options
+
+    plan = parse_mapping(KAFKA_MAPPING)
+    ls = plan.triples_maps[0].logical_source
+    assert ls.source == "kafka://localhost:9092/stations"
+    opts = kafka_source_options(ls)
+    assert opts["kafka.bootstrap.servers"] == "localhost:9092"
+    assert opts["subscribe"] == "stations"
+    assert opts["kafka.group.id"] == "community-group"
+    assert opts["startingOffsets"] == "earliest"
+    # bare kafka:// locations decompose without parsed options
+    from rml_utils_processor_ts_spark.plans.model import LogicalSource
+
+    bare = kafka_source_options(LogicalSource(source="kafka://b:9092/t", kind="jsonpath"))
+    assert bare["kafka.bootstrap.servers"] == "b:9092" and bare["subscribe"] == "t"
+
+
+def test_kafka_records_transformation_without_broker(spark):
+    """The Kafka value->records stage runs identically on a static
+    Kafka-shaped frame: binary message values iterate through the same
+    explode stage as any document source (plan-shape test; the broker
+    isn't available in-sandbox)."""
+    from rml_utils_processor_ts_spark.sources.registry import kafka_records_df, ref_column_name
+
+    plan = parse_mapping(KAFKA_MAPPING)
+    ls = plan.triples_maps[0].logical_source
+    msgs = spark.createDataFrame(
+        [
+            (b"k1", b'[{"id": "1", "v": "a"}, {"id": "2", "v": "b"}]', "stations", 0, 0),
+            (b"k2", b'[{"id": "3", "v": "c"}]', "stations", 0, 1),
+        ],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    recs = kafka_records_df(msgs, ls, ["id", "v"])
+    got = {(r[ref_column_name("id")], r[ref_column_name("v")]) for r in recs.collect()}
+    assert got == {("1", "a"), ("2", "b"), ("3", "c")}
+
+
 def test_kafka_source_stub(spark):
     mapping = """
 ex:m a rr:TriplesMap ;
