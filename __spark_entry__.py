@@ -151,6 +151,24 @@ def q_nquads_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_to_nquad_lines(res.triples)
 
 
+def q_ntriples_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: N-Triples serialization (quad minus graph, distinct) of the
+    customer mapping — the formats:N-Triples rmlt:serialization path."""
+    from rml_utils_processor_ts_spark.sinks import triples_to_ntriple_lines
+
+    res = _exec(spark, _customer_mapping(sf_dir))
+    return triples_to_ntriple_lines(res.triples)
+
+
+def q_turtle_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: deterministic Turtle serialization (one line per subject,
+    sorted predicate groups) — the formats:Turtle path."""
+    from rml_utils_processor_ts_spark.sinks import turtle_subject_lines
+
+    res = _exec(spark, _customer_mapping(sf_dir))
+    return turtle_subject_lines(res.triples)
+
+
 def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 kernel: full-outer-join CDC classification between two
     synthetic snapshots of the orders table."""
@@ -498,6 +516,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_conditional_subject": q_rml_conditional_subject,
     "rml_ldes_versioned": q_rml_ldes_versioned,
     "nquads_lines": q_nquads_lines,
+    "ntriples_lines": q_ntriples_lines,
+    "turtle_lines": q_turtle_lines,
     "cdc_diff": q_cdc_diff,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -546,6 +566,30 @@ SELECT '<' || s || '> <' || p || '> ' ||
             THEN '<' || o || '>' ELSE '"' || o || '"' END ||
        ' <' || g || '> .' AS line
 FROM t
+""".format(triples=_CUSTOMER_TRIPLES_SQL)
+
+_NTRIPLES_SQL = """
+WITH t AS ({triples})
+SELECT DISTINCT '<' || s || '> <' || p || '> ' ||
+       CASE WHEN p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+            THEN '<' || o || '>' ELSE '"' || o || '"' END || ' .' AS line
+FROM t
+""".format(triples=_CUSTOMER_TRIPLES_SQL)
+
+_TURTLE_SQL = """
+WITH t AS ({triples}),
+terms AS (
+  SELECT '<' || s || '>' AS st, '<' || p || '>' AS pt,
+         CASE WHEN p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              THEN '<' || o || '>' ELSE '"' || o || '"' END AS ot
+  FROM t),
+by_pred AS (
+  SELECT st, pt, string_agg(DISTINCT ot, ', ' ORDER BY ot) AS objs
+  FROM terms GROUP BY st, pt),
+by_subj AS (
+  SELECT st, string_agg(pt || ' ' || objs, ' ; ' ORDER BY pt || ' ' || objs) AS body
+  FROM by_pred GROUP BY st)
+SELECT st || ' ' || body || ' .' AS line FROM by_subj
 """.format(triples=_CUSTOMER_TRIPLES_SQL)
 
 _TEXT_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
@@ -895,6 +939,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT s, 'http://purl.org/dc/terms/modified', tss FROM m
         """,
         "nquads_lines": _NQUADS_SQL,
+        "ntriples_lines": _NTRIPLES_SQL,
+        "turtle_lines": _TURTLE_SQL,
         "cdc_diff": """
             WITH state AS (
               SELECT CAST(o_orderkey AS VARCHAR) AS iri, md5(o_orderstatus) AS h

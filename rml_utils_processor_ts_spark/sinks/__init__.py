@@ -1,6 +1,19 @@
-"""Sinks: deterministic N-Quads/N-Triples export, partitioned triple-table
-materialization (parquet here; Iceberg layout-compatible), lineage rows.
+"""Sinks: deterministic N-Quads/N-Triples/Turtle export, partitioned
+triple-table materialization (parquet here; Iceberg layout-compatible),
+lineage rows, per-target routing honoring rmlt:serialization.
 """
 
-from .nquads import nquad_line_column, triples_to_nquad_lines, write_nquads  # noqa: F401
+from .nquads import (  # noqa: F401
+    SERIALIZATION_WRITERS,
+    nquad_line_column,
+    ntriple_line_column,
+    triples_to_nquad_lines,
+    triples_to_ntriple_lines,
+    turtle_subject_lines,
+    write_nquads,
+    write_ntriples,
+    write_serialized,
+    write_turtle,
+)
+from .router import write_targets  # noqa: F401
 from .triple_table import write_triple_table  # noqa: F401

@@ -58,6 +58,48 @@ def triples_to_nquad_lines(df: DataFrame) -> DataFrame:
     return df.select(nquad_line_column(df).alias("line"))
 
 
+def ntriple_line_column(df: DataFrame) -> Column:
+    """N-Triples line: the quad serialization minus the graph (the
+    reference's IncRML configs request formats:N-Triples,
+    /root/reference/test/processors.test.ts:130,169)."""
+    s = _term(F.col("s"), F.col("s_termtype"), F.lit(None), F.lit(None))
+    p = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    o = _term(F.col("o"), F.col("o_termtype"), F.col("o_datatype"), F.col("o_lang"))
+    return F.concat(F.concat_ws(" ", s, p, o), F.lit(" ."))
+
+
+def triples_to_ntriple_lines(df: DataFrame) -> DataFrame:
+    """Distinct N-Triples lines (dropping the graph may collapse quads
+    that differed only in graph — triple sets are sets)."""
+    return df.select(ntriple_line_column(df).alias("line")).distinct()
+
+
+def turtle_subject_lines(df: DataFrame) -> DataFrame:
+    """Deterministic Turtle: one line per subject,
+    ``<s> <p1> o1, o2 ; <p2> o3 .`` with predicates and objects in
+    sorted order (the reference's IncRML configs request formats:Turtle,
+    /root/reference/test/incrml.test.ts:345). Graphs don't exist in
+    Turtle, so the graph column is ignored. Full IRIs, no prefix
+    directives — prefix-free Turtle is valid and byte-stable. Two
+    partial-aggregated shuffles ((s,p) then s); all formatting JVM-side."""
+    s = _term(F.col("s"), F.col("s_termtype"), F.lit(None), F.lit(None))
+    p = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    o = _term(F.col("o"), F.col("o_termtype"), F.col("o_datatype"), F.col("o_lang"))
+    terms = df.select(s.alias("st"), p.alias("pt"), o.alias("ot"))
+    by_pred = terms.groupBy("st", "pt").agg(
+        F.array_join(F.sort_array(F.collect_set("ot")), ", ").alias("objs")
+    )
+    by_subj = by_pred.groupBy("st").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.concat_ws(" ", F.col("pt"), F.col("objs")))),
+            " ; ",
+        ).alias("body")
+    )
+    return by_subj.select(F.concat_ws(" ", F.col("st"), F.col("body")).alias("line")).withColumn(
+        "line", F.concat(F.col("line"), F.lit(" ."))
+    )
+
+
 def write_nquads(df: DataFrame, path: str, partitions: int = 8) -> None:
     """Byte-stable export: rows hash-partition on the quad content
     (pmod(xxhash64), a pure function of the data — unlike
@@ -69,6 +111,38 @@ def write_nquads(df: DataFrame, path: str, partitions: int = 8) -> None:
     # (s,p,o,g) but differing in o_termtype/o_datatype/o_lang serialize
     # differently, so the line is the only key that makes the export
     # byte-stable for every distinct row the dedupe keeps.
-    lines = df.select(nquad_line_column(df).alias("value"))
-    lines = lines.repartition(partitions, F.pmod(F.xxhash64("value"), F.lit(partitions))).sortWithinPartitions("value")
-    lines.write.mode("overwrite").text(path)
+    _write_lines(df.select(nquad_line_column(df).alias("value")), path, partitions)
+
+
+def _write_lines(lines: DataFrame, path: str, partitions: int) -> None:
+    """Byte-stable text export: hash-partition + sort on the line itself
+    (pmod(xxhash64) is a pure function of the data; repartitionByRange's
+    sampled boundaries vary between runs)."""
+    out = lines.repartition(partitions, F.pmod(F.xxhash64("value"), F.lit(partitions))).sortWithinPartitions("value")
+    out.write.mode("overwrite").text(path)
+
+
+def write_ntriples(df: DataFrame, path: str, partitions: int = 8) -> None:
+    _write_lines(triples_to_ntriple_lines(df).select(F.col("line").alias("value")), path, partitions)
+
+
+def write_turtle(df: DataFrame, path: str, partitions: int = 8) -> None:
+    _write_lines(turtle_subject_lines(df).select(F.col("line").alias("value")), path, partitions)
+
+
+# rmlt:serialization -> writer (formats: IRIs, /root/reference/src/rml/incrml.ts:312)
+_FORMATS = "http://www.w3.org/ns/formats/"
+SERIALIZATION_WRITERS = {
+    _FORMATS + "N-Quads": write_nquads,
+    _FORMATS + "N-Triples": write_ntriples,
+    _FORMATS + "Turtle": write_turtle,
+    None: write_nquads,  # default output format
+}
+
+
+def write_serialized(df: DataFrame, path: str, serialization: str | None, partitions: int = 8) -> None:
+    """Write a triples frame in the requested rmlt:serialization."""
+    writer = SERIALIZATION_WRITERS.get(serialization)
+    if writer is None:
+        raise ValueError(f"unsupported rmlt:serialization {serialization!r}")
+    writer(df, path, partitions)

@@ -1,0 +1,133 @@
+"""rmlt:serialization sinks: Turtle + N-Triples (reference configs at
+/root/reference/test/incrml.test.ts:345 and processors.test.ts:130,169),
+byte-stable exports, per-target routing by declared serialization."""
+
+import glob
+import hashlib
+
+from fixtures import RML_BASIC, XML_DOC
+
+from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+from rml_utils_processor_ts_spark.sinks import (
+    triples_to_ntriple_lines,
+    turtle_subject_lines,
+    write_targets,
+    write_turtle,
+)
+
+EX = "http://example.org/"
+
+
+def _run_golden(spark):
+    """The reference's golden 4-quad fixture (rml.test.ts:419-431):
+    2 entities x (rdf:type + rdfs:label) in a named graph."""
+    return execute_mapping(
+        spark,
+        RML_BASIC.format(source="dataset/data.xml"),
+        {"dataset/data.xml": "inline:" + XML_DOC},
+    )
+
+
+def _read_dir(d):
+    return sorted(line.rstrip("\n") for f in glob.glob(d + "/part-*") for line in open(f))
+
+
+def _digest(d):
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(d + "/part-*")):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def test_turtle_golden_fixture_byte_stable(spark, tmp_path):
+    res = _run_golden(spark)
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    write_turtle(res.triples, d1, partitions=2)
+    write_turtle(_run_golden(spark).triples, d2, partitions=2)
+    assert _digest(d1) == _digest(d2)
+    lines = [line for line in _read_dir(d1) if line]
+    assert len(lines) == 2  # one subject block per entity
+    expected = (
+        f"<{EX}001> "
+        f"<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{EX}Entity> ; "
+        f'<http://www.w3.org/2000/01/rdf-schema#label> "some data" .'
+    )
+    assert expected in lines
+
+
+def test_turtle_groups_multivalued_predicates(spark):
+    doc = '<resource><data id="001" label="a"></data><data id="001" label="b"></data></resource>'
+    res = execute_mapping(
+        spark,
+        RML_BASIC.format(source="dataset/data.xml"),
+        {"dataset/data.xml": "inline:" + doc},
+    )
+    lines = [r["line"] for r in turtle_subject_lines(res.triples).collect()]
+    assert len(lines) == 1
+    assert '<http://www.w3.org/2000/01/rdf-schema#label> "a", "b"' in lines[0]
+
+
+def test_ntriples_drops_graph_and_dedupes(spark):
+    res = _run_golden(spark)
+    nq = {r for (r,) in res.triples.select("g").distinct().collect()}
+    assert nq == {EX + "myNamedGraph"}  # quads carried a graph
+    lines = {r["line"] for r in triples_to_ntriple_lines(res.triples).collect()}
+    assert len(lines) == 4
+    assert all(line.endswith((" .", '" .')) and "myNamedGraph" not in line for line in lines)
+    assert f'<{EX}001> <http://www.w3.org/2000/01/rdf-schema#label> "some data" .' in lines
+
+
+def test_write_targets_honors_serialization(spark, tmp_path):
+    """Two logical targets with different rmlt:serialization + a default
+    TM: each lands in its declared format."""
+    mapping = """
+ex:map_turtle a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "table:/root/testdata/sf0.001/region.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/r/{r_regionkey}" ;
+        rml:logicalTarget <http://x/target/turtle> ] ;
+    rr:predicateObjectMap [ rr:predicateMap [ rr:constant <http://x/name> ] ;
+        rr:objectMap [ rml:reference "r_name" ] ] .
+
+<http://x/target/turtle> a rmlt:LogicalTarget ;
+    rmlt:serialization formats:Turtle .
+
+ex:map_nt a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "table:/root/testdata/sf0.001/region.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/r2/{r_regionkey}" ;
+        rml:logicalTarget <http://x/target/nt> ] ;
+    rr:predicateObjectMap [ rr:predicateMap [ rr:constant <http://x/name> ] ;
+        rr:objectMap [ rml:reference "r_name" ] ] .
+
+<http://x/target/nt> a rmlt:LogicalTarget ;
+    rmlt:serialization formats:N-Triples .
+
+ex:map_default a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "table:/root/testdata/sf0.001/region.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/r3/{r_regionkey}" ;
+        rr:graphMap [ rr:constant "http://x/g" ] ] ;
+    rr:predicateObjectMap [ rr:predicateMap [ rr:constant <http://x/name> ] ;
+        rr:objectMap [ rml:reference "r_name" ] ] .
+"""
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+    from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+
+    plan = parse_mapping(mapping)
+    result = PlanExecutor(spark).execute(plan)
+    written = write_targets(result, plan, str(tmp_path), partitions=2)
+    assert set(written) == {"http://x/target/turtle", "http://x/target/nt", "default"}
+
+    turtle = [line for line in _read_dir(written["http://x/target/turtle"]) if line]
+    assert all(" ; " not in line and line.count("<http://x/name>") == 1 for line in turtle)
+    assert len(turtle) == 5  # one block per region subject
+    assert any(line.startswith("<http://x/r/0> <http://x/name> ") for line in turtle)
+
+    nt = [line for line in _read_dir(written["http://x/target/nt"]) if line]
+    assert len(nt) == 5 and all(line.count("<") == 2 for line in nt)  # s + p, literal object
+
+    default = [line for line in _read_dir(written["default"]) if line]
+    assert len(default) == 5 and all(line.endswith("<http://x/g> .") for line in default)
