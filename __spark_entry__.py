@@ -143,6 +143,37 @@ ex:map_events a rr:TriplesMap ;
     return res.triples.select("s", "p", "o")
 
 
+def q_rml_ldes_base_iri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 extension: rmlt:ldesBaseIRI + tree:shape honored — members hang
+    off the stream IRI via tree:member and the stream metadata quads
+    (type/timestampPath/versionOfPath/shape) are emitted once."""
+    from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+
+    mapping = f"""
+ex:map_events a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/events.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:SubjectMap ;
+        rr:template "http://ex.org/event/{{event_id}}" ;
+        rml:logicalTarget [ a rmlt:EventStreamTarget ;
+            rmlt:serialization formats:N-Quads ;
+            rmlt:ldesBaseIRI <http://ex.org/stream> ;
+            rmlt:ldes [ a ldes:EventStream ;
+                ldes:timestampPath dct:modified ;
+                ldes:versionOfPath dct:isVersionOf ;
+                tree:shape <http://ex.org/shape> ] ;
+            rmlt:ldesGenerateImmutableIRI "true"^^xsd:boolean ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/eventType> ] ;
+        rr:objectMap [ rml:reference "event_type" ; rr:termType rr:Literal ] ] .
+"""
+    plan = parse_mapping(mapping)
+    res = PlanExecutor(spark, passthrough=("ts",), ldes_ts_col="ts").execute(plan)
+    return res.triples.select("s", "p", "o")
+
+
 def q_nquads_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8: deterministic N-Quads serialization of the customer mapping."""
     from rml_utils_processor_ts_spark.sinks import triples_to_nquad_lines
@@ -461,6 +492,44 @@ ex:map_stations a rr:TriplesMap ;
     return res.triples.select("s", "p", "o")
 
 
+YARRRML_COND_DOC = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    stations:
+        sources:
+            - ["a.json~jsonpath", "$.[*]"]
+            - ["b.json~jsonpath", "$.[*]"]
+        s: ex:s/$(id)
+        po:
+            - [ex:name, $(name)]
+            - p: ex:bigName
+              o:
+                  function: grel:toUpperCase
+                  parameters: [[value, $(name)]]
+              condition:
+                  function: equal
+                  parameters: [[str1, $(kind)], [str2, main]]
+"""
+YARRRML_COND_SRC_A = '[{"id": "1", "name": "alpha", "kind": "main"}, {"id": "2", "name": "beta", "kind": "aux"}]'
+YARRRML_COND_SRC_B = '[{"id": "3", "name": "gamma", "kind": "main"}]'
+
+
+def q_yarrrml_condition_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 extension: YARRRML with a condition: function block and a
+    two-source mapping — compiles to two TriplesMaps whose conditional
+    po emits only when the condition holds."""
+    from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+    from rml_utils_processor_ts_spark.plans.yarrrml import yarrrml_to_plan
+
+    plan = yarrrml_to_plan(
+        YARRRML_COND_DOC,
+        {"a.json": "inline:" + YARRRML_COND_SRC_A, "b.json": "inline:" + YARRRML_COND_SRC_B},
+    )
+    res = PlanExecutor(spark).execute(plan)
+    return res.triples.select("s", "p", "o")
+
+
 def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON value extraction (B3 family) with builtin get_json_object."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -500,6 +569,7 @@ def q_entity_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_json_iterator": q_rml_json_iterator,
+    "yarrrml_condition_multisource": q_yarrrml_condition_multisource,
     "json_props_extract": q_json_props_extract,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "entity_link_fuzzy": q_entity_link_fuzzy,
@@ -515,6 +585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
     "rml_ldes_versioned": q_rml_ldes_versioned,
+    "rml_ldes_base_iri": q_rml_ldes_base_iri,
     "nquads_lines": q_nquads_lines,
     "ntriples_lines": q_ntriples_lines,
     "turtle_lines": q_turtle_lines,
@@ -908,6 +979,15 @@ def oracle_sql() -> dict[str, str]:
               ('https://blue-bike.be/stations/102', 'http://example.org/availableBikes', '0')
             ) AS t(s, p, o)
         """,
+        "yarrrml_condition_multisource": """
+            SELECT * FROM (VALUES
+              ('http://example.org/s/1', 'http://example.org/name', 'alpha'),
+              ('http://example.org/s/2', 'http://example.org/name', 'beta'),
+              ('http://example.org/s/3', 'http://example.org/name', 'gamma'),
+              ('http://example.org/s/1', 'http://example.org/bigName', 'ALPHA'),
+              ('http://example.org/s/3', 'http://example.org/bigName', 'GAMMA')
+            ) AS t(s, p, o)
+        """,
         "json_props_extract": """
             SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
         """,
@@ -937,6 +1017,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT s, 'http://ex.org/ns/eventType' AS p, event_type AS o FROM m
             UNION ALL SELECT s, 'http://purl.org/dc/terms/isVersionOf', base_s FROM m
             UNION ALL SELECT s, 'http://purl.org/dc/terms/modified', tss FROM m
+        """,
+        "rml_ldes_base_iri": """
+            WITH e AS (SELECT event_id, event_type, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS tss FROM events),
+            m AS (SELECT 'http://ex.org/event/' || CAST(event_id AS VARCHAR) AS base_s,
+                         'http://ex.org/event/' || CAST(event_id AS VARCHAR) || '#' || tss AS s,
+                         event_type, tss FROM e)
+            SELECT s, 'http://ex.org/ns/eventType' AS p, event_type AS o FROM m
+            UNION ALL SELECT s, 'http://purl.org/dc/terms/isVersionOf', base_s FROM m
+            UNION ALL SELECT s, 'http://purl.org/dc/terms/modified', tss FROM m
+            UNION ALL SELECT 'http://ex.org/stream', 'https://w3id.org/tree#member', s FROM m
+            UNION ALL SELECT * FROM (VALUES
+              ('http://ex.org/stream', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'https://w3id.org/ldes#EventStream'),
+              ('http://ex.org/stream', 'https://w3id.org/ldes#timestampPath', 'http://purl.org/dc/terms/modified'),
+              ('http://ex.org/stream', 'https://w3id.org/ldes#versionOfPath', 'http://purl.org/dc/terms/isVersionOf'),
+              ('http://ex.org/stream', 'https://w3id.org/tree#shape', 'http://ex.org/shape')) x(s, p, o)
         """,
         "nquads_lines": _NQUADS_SQL,
         "ntriples_lines": _NTRIPLES_SQL,

@@ -345,6 +345,7 @@ class PlanExecutor:
 
         # LDES versioned members (B13): version IRI derived from warc_ts —
         # deterministic, never wall-clock (reference behavior README.md:43).
+        ldes_frames: list[DataFrame] = []
         if lt is not None and lt.is_ldes:
             ts_col = (
                 F.date_format(F.col(self.ldes_ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
@@ -352,18 +353,22 @@ class PlanExecutor:
                 else F.lit(self.version_ts or "1970-01-01T00:00:00Z")
             )
             base = base.withColumn("__ts", ts_col)
-            base = base.withColumn("__base_s", F.col("__s")).withColumn(
-                "__s", F.concat(F.col("__s"), F.lit("#"), F.col("__ts"))
-            )
-            structs.append(
-                _obj_struct(
-                    F.lit(lt.ldes_version_of_path or voc.DCT_IS_VERSION_OF),
-                    F.col("__base_s"),
-                    F.lit("IRI"),
-                    F.lit(None).cast("string"),
-                    F.lit(None).cast("string"),
+            base = base.withColumn("__base_s", F.col("__s"))
+            if lt.ldes_immutable_iri:
+                # rmlt:ldesGenerateImmutableIRI: unique member version IRIs
+                # + the dct:isVersionOf link back to the base entity
+                base = base.withColumn(
+                    "__s", F.concat(F.col("__s"), F.lit("#"), F.col("__ts"))
                 )
-            )
+                structs.append(
+                    _obj_struct(
+                        F.lit(lt.ldes_version_of_path or voc.DCT_IS_VERSION_OF),
+                        F.col("__base_s"),
+                        F.lit("IRI"),
+                        F.lit(None).cast("string"),
+                        F.lit(None).cast("string"),
+                    )
+                )
             structs.append(
                 _obj_struct(
                     F.lit(lt.ldes_timestamp_path or voc.DCT_MODIFIED),
@@ -373,8 +378,42 @@ class PlanExecutor:
                     F.lit(None).cast("string"),
                 )
             )
+            if lt.ldes_base_iri:
+                # rmlt:ldesBaseIRI names the event stream itself: every
+                # member hangs off it via tree:member, and the stream's
+                # metadata (type/timestampPath/versionOfPath/tree:shape)
+                # is emitted once per run — the quads an LDES consumer
+                # needs to traverse the stream
+                # (/root/reference/src/rml/incrml.ts:303-338).
+                ldes_frames.append(
+                    base.select(
+                        F.lit(lt.ldes_base_iri).alias("s"),
+                        F.lit("IRI").alias("s_termtype"),
+                        F.lit(voc.TREE_MEMBER).alias("p"),
+                        F.col("__s").alias("o"),
+                        F.lit("IRI").alias("o_termtype"),
+                        F.lit(None).cast("string").alias("o_datatype"),
+                        F.lit(None).cast("string").alias("o_lang"),
+                        graph.alias("g"),
+                        F.lit(target_id).alias("target_id"),
+                    )
+                )
+                meta = [(voc.RDF_TYPE, voc.LDES_EVENT_STREAM)]
+                meta.append((voc.LDES_TIMESTAMP_PATH, lt.ldes_timestamp_path or voc.DCT_MODIFIED))
+                meta.append((voc.LDES_VERSION_OF_PATH, lt.ldes_version_of_path or voc.DCT_IS_VERSION_OF))
+                if lt.ldes_shape:
+                    meta.append((voc.TREE_SHAPE, lt.ldes_shape))
+                ldes_frames.append(
+                    self.spark.createDataFrame(
+                        [
+                            (lt.ldes_base_iri, "IRI", p, o, "IRI", None, None, None, target_id)
+                            for p, o in meta
+                        ],
+                        ", ".join(f"{c} string" for c in TRIPLE_COLUMNS),
+                    )
+                )
 
-        frames: list[DataFrame] = []
+        frames: list[DataFrame] = list(ldes_frames)
         if structs:
             exploded = (
                 base.withColumn("__pom", F.explode(F.array(*structs)))

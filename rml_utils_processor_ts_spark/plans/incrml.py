@@ -269,6 +269,7 @@ def _generate_event_tm(
             ldes_version_of_path=t.version_of_path,
             ldes_base_iri=t.ldes_base_iri,
             ldes_immutable_iri=t.unique_iris,
+            ldes_shape=t.shape,
         )
 
     lifecycle_pom = PredicateObjectMap(

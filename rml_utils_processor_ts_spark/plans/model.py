@@ -142,6 +142,7 @@ class LogicalTarget:
     ldes_version_of_path: str | None = None
     ldes_base_iri: str | None = None
     ldes_immutable_iri: bool = False
+    ldes_shape: str | None = None
 
 
 @dataclass

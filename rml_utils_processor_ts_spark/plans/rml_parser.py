@@ -216,8 +216,10 @@ def _parse_logical_target(g: Graph, node: Term) -> LogicalTarget:
     if ldes_node is not None:
         tsp = g.object(ldes_node, voc.LDES_TIMESTAMP_PATH)
         vop = g.object(ldes_node, voc.LDES_VERSION_OF_PATH)
+        shape = g.object(ldes_node, voc.TREE_SHAPE)
         lt.ldes_timestamp_path = tsp.value if tsp else None
         lt.ldes_version_of_path = vop.value if vop else None
+        lt.ldes_shape = shape.value if shape else None
     imm = g.object(node, voc.RMLT_LDES_GENERATE_IMMUTABLE_IRI)
     if imm is not None:
         lt.ldes_immutable_iri = imm.value in ("true", "1")

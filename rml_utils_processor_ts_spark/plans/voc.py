@@ -120,6 +120,9 @@ RMLT_LDES_BASE_IRI = RMLT + "ldesBaseIRI"
 RMLT_LDES_GENERATE_IMMUTABLE_IRI = RMLT + "ldesGenerateImmutableIRI"
 LDES_TIMESTAMP_PATH = LDES + "timestampPath"
 LDES_VERSION_OF_PATH = LDES + "versionOfPath"
+LDES_EVENT_STREAM = LDES + "EventStream"
+TREE_SHAPE = TREE + "shape"
+TREE_MEMBER = TREE + "member"
 VOID_DATA_DUMP = VOID + "dataDump"
 DCT_MODIFIED = DCT + "modified"
 DCT_IS_VERSION_OF = DCT + "isVersionOf"

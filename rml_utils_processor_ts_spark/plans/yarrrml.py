@@ -25,6 +25,7 @@ import yaml
 
 from . import voc
 from .model import (
+    FunctionCall,
     JoinCondition,
     LogicalSource,
     MappingPlan,
@@ -35,6 +36,30 @@ from .model import (
 )
 
 _REF_RE = re.compile(r"\$\(([^)]+)\)")
+
+# yarrrml-parser ships these prefixes built in; docs may override
+_BUILTIN_PREFIXES = {
+    "grel": voc.GREL,
+    "idlab-fn": voc.IDLAB_FN,
+    "rdf": voc.RDF,
+    "rdfs": voc.RDFS,
+    "xsd": voc.XSD,
+}
+
+# yarrrml condition/function shorthands (the spec's bare names)
+_FN_SHORTHAND = {
+    "equal": voc.IDLAB_EQUAL,
+    "notEqual": voc.IDLAB_NOT_EQUAL,
+    "trueCondition": voc.IDLAB_TRUE_CONDITION,
+    "strBoolean": voc.IDLAB_STR_BOOLEAN,
+}
+_PARAM_SHORTHAND = {
+    "str1": voc.GREL_VALUE_PARAMETER,
+    "str2": voc.GREL_VALUE_PARAMETER2,
+    "value": voc.GREL_VALUE_PARAMETER,
+    "a": voc.GREL_PARAM_A,
+    "sep": voc.GREL_PARAM_STRING_SEP,
+}
 
 _FORMULATIONS = {
     "xpath": "xpath",
@@ -92,12 +117,70 @@ def _parse_source(entry, name: str) -> LogicalSource:
     return LogicalSource(source=location, kind=kind, iterator=iterator)
 
 
+def _to_function(spec: dict, prefixes: dict[str, str], name: str) -> FunctionCall:
+    """YARRRML function block {function: f, parameters: [[p, v], ...]} ->
+    FunctionCall (the @rmlio/yarrrml-parser function surface the reference
+    delegates to, /root/reference/src/yarrrml/yarrrml.ts:8-12)."""
+    fn_name = spec.get("function") or spec.get("fn")
+    if fn_name is None:
+        raise YarrrmlError(f"mapping {name}: function block without 'function'")
+    iri = _FN_SHORTHAND.get(str(fn_name)) or _expand_prefixed(str(fn_name), prefixes)
+    params: dict[str, TermMap] = {}
+    for p in spec.get("parameters") or []:
+        if isinstance(p, list) and len(p) >= 2:
+            pname, pval = p[0], p[1]
+        elif isinstance(p, dict):
+            pname, pval = p.get("parameter"), p.get("value")
+        else:
+            raise YarrrmlError(f"mapping {name}: malformed function parameter {p!r}")
+        key = _PARAM_SHORTHAND.get(str(pname)) or _expand_prefixed(str(pname), prefixes)
+        tm = (
+            TermMap(function=_to_function(pval, prefixes, name))
+            if isinstance(pval, dict)
+            else _to_template(str(pval), prefixes)
+        )
+        if key in params:  # repeated params (array_join) keep position
+            n = 1
+            while f"{key}#{n}" in params:
+                n += 1
+            key = f"{key}#{n}"
+        params[key] = tm
+    return FunctionCall(function_iri=iri, params=params)
+
+
+def _conditional_object(obj: TermMap, cond_spec: dict, prefixes: dict[str, str], name: str) -> TermMap:
+    """po-level condition: emit the object only when the condition holds —
+    compiles to trueCondition(strBoolean=<cond>, str=<object>) exactly as
+    the IncRML rewriter embeds conditions (incrml.ts:391-412)."""
+    cond_fn = _to_function(cond_spec, prefixes, name)
+    wrapped = TermMap(
+        function=FunctionCall(
+            function_iri=voc.IDLAB_TRUE_CONDITION,
+            params={
+                voc.IDLAB_STR_BOOLEAN: TermMap(function=cond_fn),
+                voc.IDLAB_STR: obj,
+            },
+        ),
+        datatype=obj.datatype,
+        language=obj.language,
+    )
+    # preserve the unwrapped object's effective term type (templates and
+    # IRI constants default to IRI; a function object defaults to Literal)
+    if obj.term_type is not None:
+        wrapped.term_type = obj.term_type
+    elif obj.template is not None or (obj.constant is not None and obj.constant_is_iri):
+        wrapped.term_type = "IRI"
+    return wrapped
+
+
 def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
+    condition = None
     if isinstance(entry, dict):
         preds = entry.get("p") or entry.get("predicate") or entry.get("predicates")
         objs = entry.get("o") or entry.get("object") or entry.get("objects")
         pred_val = preds[0] if isinstance(preds, list) else preds
         obj_val = objs[0] if isinstance(objs, list) else objs
+        condition = entry.get("condition")
     elif isinstance(entry, list) and len(entry) >= 2:
         pred_val, obj_val = entry[0], entry[1]
         if len(entry) == 3:
@@ -140,13 +223,18 @@ def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
         obj_val = obj_val[0]
         if datatype and datatype.startswith("~lang"):
             language, datatype = None, None
-    obj = _to_template(str(obj_val), prefixes)
+    if isinstance(obj_val, dict) and ("function" in obj_val or "fn" in obj_val):
+        obj = TermMap(function=_to_function(obj_val, prefixes, name))
+    else:
+        obj = _to_template(str(obj_val), prefixes)
     if datatype:
         obj.datatype = datatype
     if language:
         obj.language = language
     if pred_val == "a":
         obj.term_type = "IRI"
+    if isinstance(condition, dict):
+        obj = _conditional_object(obj, condition, prefixes, name)
     return PredicateObjectMap(predicate=pred, object=obj)
 
 
@@ -154,44 +242,68 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
     data = yaml.safe_load(doc)
     if not isinstance(data, dict):
         raise YarrrmlError("YARRRML document must be a YAML mapping")
-    prefixes = {k: str(v) for k, v in (data.get("prefixes") or {}).items()}
+    prefixes = {**_BUILTIN_PREFIXES, **{k: str(v) for k, v in (data.get("prefixes") or {}).items()}}
     mappings = data.get("mappings") or data.get("mapping")
     if not mappings:
         raise YarrrmlError("YARRRML document has no mappings")
     bindings = source_bindings or {}
 
     tms: list[TriplesMap] = []
+    by_map_name: dict[str, list[str]] = {}
     for name, m in mappings.items():
         sources = m.get("sources") or m.get("source")
         if not sources:
             raise YarrrmlError(f"mapping {name}: no sources")
         if not isinstance(sources, list):
             sources = [sources]
-        ls = _parse_source(sources[0], name)
-        ls.source = bindings.get(ls.source, ls.source)
 
         subj_val = m.get("s") or m.get("subject") or m.get("subjects")
         if subj_val is None:
             raise YarrrmlError(f"mapping {name}: no subject")
         if isinstance(subj_val, list):
             subj_val = subj_val[0]
-        subject = _to_template(str(subj_val), prefixes)
 
         graph_val = m.get("graph") or m.get("graphs")
-        graph_map = None
-        if graph_val is not None:
-            if isinstance(graph_val, list):
-                graph_val = graph_val[0]
-            graph_map = _to_template(str(graph_val), prefixes)
+        if isinstance(graph_val, list):
+            graph_val = graph_val[0]
 
-        poms = [_parse_po(e, prefixes, name) for e in (m.get("po") or m.get("predicateobjects") or [])]
-        tms.append(
-            TriplesMap(
-                name=f"urn:yarrrml:{name}",
-                logical_source=ls,
-                subject_map=SubjectMap(term_map=subject, graph_map=graph_map),
-                predicate_object_maps=poms,
-                label=str(name),
+        # a mapping with N sources expands to N TriplesMaps over the same
+        # subject/po definitions (the @rmlio/yarrrml-parser expansion)
+        for i, src_entry in enumerate(sources):
+            ls = _parse_source(src_entry, name)
+            ls.source = bindings.get(ls.source, ls.source)
+            tm_name = f"urn:yarrrml:{name}" if len(sources) == 1 else f"urn:yarrrml:{name}_{i}"
+            poms = [_parse_po(e, prefixes, name) for e in (m.get("po") or m.get("predicateobjects") or [])]
+            tms.append(
+                TriplesMap(
+                    name=tm_name,
+                    logical_source=ls,
+                    subject_map=SubjectMap(
+                        term_map=_to_template(str(subj_val), prefixes),
+                        graph_map=_to_template(str(graph_val), prefixes) if graph_val is not None else None,
+                    ),
+                    predicate_object_maps=poms,
+                    label=str(name),
+                )
             )
-        )
+            by_map_name.setdefault(f"urn:yarrrml:{name}", []).append(tm_name)
+
+    # referencing object maps point at a MAPPING; a multi-source parent
+    # fans out to one referencing POM per parent TriplesMap
+    for tm in tms:
+        expanded = []
+        for pom in tm.predicate_object_maps:
+            if pom.parent_triples_map is not None:
+                for target in by_map_name.get(pom.parent_triples_map, [pom.parent_triples_map]):
+                    expanded.append(
+                        PredicateObjectMap(
+                            predicate=pom.predicate,
+                            object=None,
+                            parent_triples_map=target,
+                            join_conditions=pom.join_conditions,
+                        )
+                    )
+            else:
+                expanded.append(pom)
+        tm.predicate_object_maps = expanded
     return MappingPlan(triples_maps=tms, source_bindings=bindings)

