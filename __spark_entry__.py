@@ -255,7 +255,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return embedding_neardup_pairs(emb, threshold=0.8)
+    return embedding_neardup_pairs(emb, threshold=0.3)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed scale path: hyperplane-sign
+    buckets as the self-join key instead of a metadata block column."""
+    from rml_utils_processor_ts_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_profile": q_text_profile,
     "events_window_agg": q_events_window_agg,
@@ -705,7 +717,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) /
-      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
 """
 
 _ANN_TOPK_SQL = """
@@ -875,6 +887,30 @@ scored AS (
   FROM q JOIN bucketed b ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _emb_lsh_sql(n_planes: int = 4, threshold: float = 0.5, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of dedup.embedding_neardup_pairs_lsh — hyperplanes
+    inlined as DOUBLE[] literals (same deterministic md5 scheme)."""
+    from rml_utils_processor_ts_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in w)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for w in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bits} AS bucket FROM e)
+SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       round(list_dot_product(a.v, x.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS cosine
+FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+WHERE list_dot_product(a.v, x.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))) >= {threshold}
 """
 
 
@@ -1065,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_embedding_cosine": _EMB_COSINE_SQL,
+        "dedup_embedding_lsh": _emb_lsh_sql(threshold=0.3),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "text_profile": _TEXT_PROFILE_SQL,

@@ -230,6 +230,41 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane LSH buckets replace
+    the metadata block column — the self-join shuffles on the bucket key
+    (~n/2^planes candidates per bucket, never all-pairs), then exact
+    cosine verifies candidates. Same hyperplanes as the ANN path
+    (similarity._hyperplanes: deterministic, SQL-oracle-reproducible).
+    Recall is the LSH guarantee: high-cosine pairs agree on sign bits
+    with high probability; more planes = smaller buckets, lower recall."""
+    from .similarity import _dot, _hyperplanes, _norm, lsh_bucket_column
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", lsh_bucket_column(F.col("v"), planes)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Given near-dup pairs, keep one representative per duplicate cluster
     (min id wins; transitive closure via connected components)."""

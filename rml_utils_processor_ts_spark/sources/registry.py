@@ -160,8 +160,11 @@ def _xml_fast_path_plan(iterator: str | None, refs: list[str]):
 
     Known limitation vs the slow path: the fragment regex closes at the
     first ``</tag>``, so documents nesting the iterator tag INSIDE itself
-    mis-split — disable with RML_XML_FAST_PATH=0 for such corpora (no
-    reference fixture nests its iterator tag)."""
+    mis-split. The iterate stage AUTO-DETECTS such documents per row (an
+    opening-tag count exceeding the fragment count means a fragment
+    swallowed a nested opener) and routes only those documents through
+    the Python tree-walking path; RML_XML_FAST_PATH=0 still forces the
+    slow path globally."""
     import re
 
     if not iterator:
@@ -219,19 +222,11 @@ def _records_schema(refs: list[str]) -> T.ArrayType:
     )
 
 
-def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: list[str], passthrough: list[str]) -> DataFrame:
-    """payload-doc DataFrame -> exploded records.
-
-    XML fast path: depth-1 ``//tag`` iterators compile to builtin
-    ``from_xml`` + ``explode`` (JVM, whole-stage codegen). Everything
-    else: Arrow-batched pandas UDF (array<struct> out) + built-in
-    explode. Passthrough columns survive both paths."""
-    if ls.kind == "xpath" and os.environ.get("RML_XML_FAST_PATH", "1") != "0":
-        fast = _xml_fast_records(df, payload_col, ls.iterator or "", refs, passthrough)
-        if fast is not None:
-            return fast
-    iterator = ls.iterator
-    kind = ls.kind
+def _python_iterate_records(
+    df: DataFrame, payload_col: str, kind: str, iterator: str | None, refs: list[str], passthrough: list[str]
+) -> DataFrame:
+    """Arrow-batched pandas UDF iterate (array<struct> out) + built-in
+    explode — the general-shape path for XML/JSON iterators."""
     schema = _records_schema(refs)
     ref_list = list(refs)
 
@@ -243,6 +238,31 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
     recs = df.withColumn("__records", iterate(F.col(payload_col)))
     exploded = recs.select(*passthrough, F.explode("__records").alias("__rec"))
     return exploded.select(*passthrough, "__rec.*")
+
+
+def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: list[str], passthrough: list[str]) -> DataFrame:
+    """payload-doc DataFrame -> exploded records.
+
+    XML fast path: depth-1 ``//tag`` iterators compile to builtin
+    ``from_xml`` + ``explode`` (JVM, whole-stage codegen, ~10-50x the
+    Arrow path). Documents that nest the iterator tag inside itself are
+    detected per row (cheap opener-vs-fragment count, still JVM-side)
+    and routed through the Python tree-walking path; both branches union
+    to one frame. Passthrough columns survive all paths."""
+    if ls.kind == "xpath" and os.environ.get("RML_XML_FAST_PATH", "1") != "0":
+        plan = _xml_fast_path_plan(ls.iterator or "", refs)
+        if plan is not None:
+            tag = plan[0]
+            frag_pat = rf"(?s)<{tag}\b(?:[^>]*?/>|.*?</{tag}\s*>)"
+            n_open = F.size(F.regexp_extract_all(F.col(payload_col), F.lit(rf"<{tag}[\s/>]"), F.lit(0)))
+            n_frag = F.size(F.regexp_extract_all(F.col(payload_col), F.lit(frag_pat), F.lit(0)))
+            nested = F.coalesce(n_open > n_frag, F.lit(False))
+            fast = _xml_fast_records(df.filter(~nested), payload_col, ls.iterator or "", refs, passthrough)
+            slow = _python_iterate_records(
+                df.filter(nested), payload_col, "xpath", ls.iterator, refs, passthrough
+            )
+            return fast.unionByName(slow)
+    return _python_iterate_records(df, payload_col, ls.kind, ls.iterator, refs, passthrough)
 
 
 def records_df(

@@ -202,6 +202,34 @@ ex:m a rr:TriplesMap ;
         execute_mapping(spark, mapping)
 
 
+def test_xml_self_nested_iterator_autodetected(spark):
+    """Documents nesting the iterator tag inside itself are auto-routed
+    to the tree-walking path (no RML_XML_FAST_PATH env var needed);
+    flat documents in the same frame still take the JVM fast path."""
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "d.xml" ;
+        rml:iterator "//data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ rr:template "http://x/{@id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "@label" ] ] .
+"""
+    doc = (
+        '<resource>'
+        '<data id="1" label="outer"><data id="2" label="inner"></data></data>'
+        '<data id="3" label="flat"></data>'
+        '</resource>'
+    )
+    res = execute_mapping(spark, mapping, {"d.xml": "inline:" + doc})
+    got = {(r["s"], r["o"]) for r in res.triples.collect()}
+    assert got == {
+        ("http://x/1", "outer"),
+        ("http://x/2", "inner"),
+        ("http://x/3", "flat"),
+    }
+
+
 def test_language_and_blank_node_terms(spark):
     """rr:language tagged literals + rr:termType rr:BlankNode subjects,
     through to N-Quads serialization."""
