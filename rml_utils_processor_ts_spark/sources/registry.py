@@ -197,18 +197,8 @@ def _xml_fast_path_plan(iterator: str | None, refs: list[str]):
     return tag, rec_struct, extract
 
 
-def _xml_fast_records(df: DataFrame, payload_col: str, iterator: str, refs: list[str], passthrough: list[str]):
-    plan = _xml_fast_path_plan(iterator, refs)
-    if plan is None:
-        return None
-    tag, rec_struct, extract = plan
-    frag_pat = rf"(?s)<{tag}\b(?:[^>]*?/>|.*?</{tag}\s*>)"
-    frags = df.select(
-        *passthrough,
-        F.explode(
-            F.regexp_extract_all(F.col(payload_col), F.lit(frag_pat), F.lit(0))
-        ).alias("__frag"),
-    )
+def _xml_fast_records_from_frags(frags: DataFrame, rec_struct, extract, passthrough: list[str]) -> DataFrame:
+    """Exploded fragment rows (__frag) -> record rows via builtin from_xml."""
     parsed = frags.withColumn(
         "__rec", F.from_xml(F.col("__frag"), rec_struct, {"attributePrefix": "_"})
     ).filter(F.col("__rec").isNotNull())
@@ -245,21 +235,39 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
 
     XML fast path: depth-1 ``//tag`` iterators compile to builtin
     ``from_xml`` + ``explode`` (JVM, whole-stage codegen, ~10-50x the
-    Arrow path). Documents that nest the iterator tag inside itself are
-    detected per row (cheap opener-vs-fragment count, still JVM-side)
-    and routed through the Python tree-walking path; both branches union
-    to one frame. Passthrough columns survive all paths."""
+    Arrow path). Self-nesting detection: every fragment consumes >= 1
+    iterator-tag opener, so MORE openers than fragments means a fragment
+    swallowed a nested opener (the fragment regex closes at the first
+    end tag and mis-splits such documents) — those documents route
+    through the Python tree-walking path, the rest explode the fragment
+    array. The opener count is one cheap extra regex; per-fragment regex
+    probes measured 5x slower on the pages pipeline and are avoided.
+    Both branches union to one frame; passthrough survives all paths."""
     if ls.kind == "xpath" and os.environ.get("RML_XML_FAST_PATH", "1") != "0":
         plan = _xml_fast_path_plan(ls.iterator or "", refs)
         if plan is not None:
-            tag = plan[0]
+            tag, rec_struct, extract = plan
             frag_pat = rf"(?s)<{tag}\b(?:[^>]*?/>|.*?</{tag}\s*>)"
-            n_open = F.size(F.regexp_extract_all(F.col(payload_col), F.lit(rf"<{tag}[\s/>]"), F.lit(0)))
-            n_frag = F.size(F.regexp_extract_all(F.col(payload_col), F.lit(frag_pat), F.lit(0)))
-            nested = F.coalesce(n_open > n_frag, F.lit(False))
-            fast = _xml_fast_records(df.filter(~nested), payload_col, ls.iterator or "", refs, passthrough)
+            with_frags = df.withColumn(
+                "__frags", F.regexp_extract_all(F.col(payload_col), F.lit(frag_pat), F.lit(0))
+            )
+            if os.environ.get("RML_XML_NESTED_DETECT", "1") != "0":
+                # one cheap extra regex count; opt out for corpora known
+                # flat (RML_XML_NESTED_DETECT=0) to save the scan
+                n_open = F.size(
+                    F.regexp_extract_all(F.col(payload_col), F.lit(rf"<{tag}[\s/>]"), F.lit(0))
+                )
+                nested = F.coalesce(n_open > F.size(F.col("__frags")), F.lit(False))
+            else:
+                nested = F.lit(False)
+            fast = _xml_fast_records_from_frags(
+                with_frags.filter(~nested).select(*passthrough, F.explode("__frags").alias("__frag")),
+                rec_struct,
+                extract,
+                passthrough,
+            )
             slow = _python_iterate_records(
-                df.filter(nested), payload_col, "xpath", ls.iterator, refs, passthrough
+                with_frags.filter(nested).drop("__frags"), payload_col, "xpath", ls.iterator, refs, passthrough
             )
             return fast.unionByName(slow)
     return _python_iterate_records(df, payload_col, ls.kind, ls.iterator, refs, passthrough)
