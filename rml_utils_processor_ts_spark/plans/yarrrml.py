@@ -28,6 +28,7 @@ from .model import (
     FunctionCall,
     JoinCondition,
     LogicalSource,
+    LogicalTarget,
     MappingPlan,
     PredicateObjectMap,
     SubjectMap,
@@ -60,6 +61,45 @@ _PARAM_SHORTHAND = {
     "a": voc.GREL_PARAM_A,
     "sep": voc.GREL_PARAM_STRING_SEP,
 }
+
+# yarrrml serialization shorthands -> formats: IRIs
+_SERIALIZATIONS = {
+    "nquads": voc.FORMATS + "N-Quads",
+    "n-quads": voc.FORMATS + "N-Quads",
+    "ntriples": voc.FORMATS + "N-Triples",
+    "n-triples": voc.FORMATS + "N-Triples",
+    "turtle": voc.FORMATS + "Turtle",
+    "ttl": voc.FORMATS + "Turtle",
+}
+
+
+def _parse_target(target_id: str, spec) -> LogicalTarget:
+    """Document-level targets: entry -> LogicalTarget. Accepts the list
+    shortcut ["access~type", "serialization"] and the mapping form
+    {access, type, serialization} (yarrrml spec targets surface)."""
+    serialization = None
+    if isinstance(spec, list):
+        access = str(spec[0])
+        if len(spec) > 1:
+            serialization = str(spec[1])
+    elif isinstance(spec, dict):
+        access = str(spec.get("access") or spec.get("location") or "")
+        serialization = spec.get("serialization")
+    else:
+        access = str(spec)
+    if "~" in access:
+        access = access.rpartition("~")[0]
+    ser_iri = None
+    if serialization:
+        key = str(serialization).lower()
+        ser_iri = _SERIALIZATIONS.get(key, serialization if str(serialization).startswith("http") else None)
+        if ser_iri is None:
+            raise YarrrmlError(f"target {target_id}: unknown serialization {serialization!r}")
+    return LogicalTarget(
+        target_id=f"urn:yarrrml:target:{target_id}",
+        location=access or None,
+        serialization=ser_iri,
+    )
 
 _FORMULATIONS = {
     "xpath": "xpath",
@@ -247,6 +287,10 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
     if not mappings:
         raise YarrrmlError("YARRRML document has no mappings")
     bindings = source_bindings or {}
+    targets = {
+        tid: _parse_target(tid, spec)
+        for tid, spec in (data.get("targets") or {}).items()
+    }
 
     tms: list[TriplesMap] = []
     by_map_name: dict[str, list[str]] = {}
@@ -260,8 +304,22 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
         subj_val = m.get("s") or m.get("subject") or m.get("subjects")
         if subj_val is None:
             raise YarrrmlError(f"mapping {name}: no subject")
+        subj_targets: list[str] = []
+        if isinstance(subj_val, dict):
+            # subject with targets: {value: ..., targets: [t1]}
+            raw_targets = subj_val.get("targets") or []
+            subj_targets = [raw_targets] if isinstance(raw_targets, str) else list(raw_targets)
+            subj_val = subj_val.get("value")
+            if subj_val is None:
+                raise YarrrmlError(f"mapping {name}: subject dict without value")
         if isinstance(subj_val, list):
             subj_val = subj_val[0]
+        logical_target = None
+        if subj_targets:
+            tid = subj_targets[0]
+            if tid not in targets:
+                raise YarrrmlError(f"mapping {name}: unknown target {tid!r}")
+            logical_target = targets[tid]
 
         graph_val = m.get("graph") or m.get("graphs")
         if isinstance(graph_val, list):
@@ -281,6 +339,7 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
                     subject_map=SubjectMap(
                         term_map=_to_template(str(subj_val), prefixes),
                         graph_map=_to_template(str(graph_val), prefixes) if graph_val is not None else None,
+                        logical_target=logical_target,
                     ),
                     predicate_object_maps=poms,
                     label=str(name),

@@ -131,6 +131,45 @@ ex:map_{n} a rr:TriplesMap ;
     assert not any(s.endswith("/2") and p.endswith("bigName") for s, p, _ in got)
 
 
+def test_yarrrml_targets(spark, tmp_path):
+    """Document-level targets: + subject-level target refs compile to
+    LogicalTargets and route output in the declared serialization."""
+    from rml_utils_processor_ts_spark.sinks import write_targets
+
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+targets:
+    t_turtle: ["out/data.ttl~void", "turtle"]
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s:
+            value: ex:$(id)
+            targets: t_turtle
+        po:
+            - [ex:name, $(name)]
+"""
+    bindings = {"d.json": "inline:" + '[{"id": "1", "name": "x"}]'}
+    plan = yarrrml_to_plan(doc, bindings)
+    lt = plan.triples_maps[0].subject_map.logical_target
+    assert lt is not None
+    assert lt.serialization == "http://www.w3.org/ns/formats/Turtle"
+    assert lt.location == "out/data.ttl"
+    result = PlanExecutor(spark).execute(plan)
+    written = write_targets(result, plan, str(tmp_path))
+    assert set(written) == {"urn:yarrrml:target:t_turtle"}
+    import glob
+
+    lines = [
+        line.strip()
+        for f in glob.glob(written["urn:yarrrml:target:t_turtle"] + "/part-*")
+        for line in open(f)
+        if line.strip()
+    ]
+    assert lines == ['<http://example.org/1> <http://example.org/name> "x" .']
+
+
 def test_yarrrml_join_mapping(spark):
     doc = """
 prefixes:

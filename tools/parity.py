@@ -172,6 +172,58 @@ def main() -> int:
     }
     results.append(("incrml.test.ts:136-177 join semantics", *pr(got, expected_join), len(got), 2))
 
+    # F6 WoT HTTP source shape — rml.test.ts:299-350: the source URL is
+    # declared inside td:PropertyAffordance/td:hasForm/hctl:hasTarget;
+    # replay against a local HTTP server serving the blue-bike JSON
+    import http.server
+    import threading
+
+    payload = JSON_DOC.encode()
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        wot_mapping = """
+ex:map_wot a rr:TriplesMap ;
+    rml:logicalSource [
+        a rml:LogicalSource ;
+        rml:source [
+            a td:PropertyAffordance ;
+            td:hasForm [
+                a td:Form ;
+                hctl:hasTarget "http://127.0.0.1:%d/pub/location" ;
+                hctl:forContentType "application/json"
+            ]
+        ] ;
+        rml:referenceFormulation ql:JSONPath ;
+        rml:iterator "$.[*]"
+    ] ;
+    rr:subjectMap [ rr:template "https://blue-bike.be/stations/{id}" ;
+        rr:class ex:BicycleParkingStation ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant ex:name ] ;
+        rr:objectMap [ rml:reference "name" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant ex:availableBikes ] ;
+        rr:objectMap [ rml:reference "bikes_available" ] ] .
+""" % server.server_address[1]
+        got = quadset(execute_mapping(spark, wot_mapping).triples)
+        results.append(
+            ("rml.test.ts:299-350 WoT source shape", *pr(got, expected_json), len(got), len(expected_json))
+        )
+    finally:
+        server.shutdown()
+
     # report
     lines = [
         "# PARITY — triple-level P/R vs reference fixture expectations",
