@@ -83,18 +83,21 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
     # * large-star gathers neighbors over the SYMMETRIZED edge set each
     #   round (the Kiveris formulation) — gathering over the directed
     #   remnant of the previous round stalls on depth>=2 trees.
-    # * min-neighbor aggregates are localCheckpoint'ed before joining: a
-    #   join between a relation and an aggregate OF THE SAME relation
-    #   makes Catalyst's relation dedup rewrite attribute ids, which
-    #   crashes localCheckpoint normalization on Spark 4.1.2
-    #   (NoSuchElementException in AttributeMap); materializing the tiny
-    #   |nodes|-sized aggregate also avoids recomputing it per branch.
+    # * exactly TWO materializations per round (e2 and e): the
+    #   localCheckpoint after each star step cuts lineage AND isolates
+    #   the relation-with-aggregate-of-itself join shapes that crash
+    #   checkpoint normalization on Spark 4.1.2 (the constraint-
+    #   propagation switch in connected_components is the root fix; the
+    #   e2/e checkpoints keep each round's plan two-star-steps deep).
+    #   Round-1 additionally checkpointed the min-neighbor aggregates —
+    #   dropping those two cut cc wall time ~33% at sf0.1 with the
+    #   400k-edge long-chain+hub stress still exact.
     # * convergence = edge-set fixpoint, checked by (count, hash-sum)
     #   signature — one cheap aggregate per round, no extra join.
     for _ in range(max_iterations):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         # large-star: (v, min(Γ(u) ∪ {u})) for every neighbor v > u
-        mn = _materialize(_min_neighbor(sym.union(sym.select(F.col("u"), F.col("u").alias("v")))))
+        mn = _min_neighbor(sym.union(sym.select(F.col("u"), F.col("u").alias("v"))))
         e2 = _materialize(
             sym.filter(F.col("v") > F.col("u"))
             .join(mn, F.col("u") == F.col("mu"))
@@ -104,11 +107,8 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
         )
         # small-star over the (now high->low oriented) edges: every node in
         # Γ(u) ∪ {u} links to min(Γ(u) ∪ {u})
-        mn2 = _materialize(_min_neighbor(e2.union(e2.select(F.col("u"), F.col("u").alias("v")))))
-        j = _materialize(
-            e2.join(mn2, F.col("u") == F.col("mu"))
-            .select("u", "v", "mn")
-        )
+        mn2 = _min_neighbor(e2.union(e2.select(F.col("u"), F.col("u").alias("v"))))
+        j = e2.join(mn2, F.col("u") == F.col("mu")).select("u", "v", "mn")
         small = j.select(F.col("u"), F.col("mn").alias("v")).union(
             j.select(F.col("v").alias("u"), F.col("mn").alias("v"))
         )
