@@ -687,15 +687,36 @@ grams AS (
   FROM docs)
 """
 
+def _minhash_fingerprint_cte() -> str:
+    """Shared CTE: the 31-bit md5 fingerprint x per (doc, shingle) —
+    the single-md5 base of the universal-hash minhash family."""
+    from rml_utils_processor_ts_spark.operators.dedup import MINHASH_PRIME
+
+    return f"""
+fp AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % {MINHASH_PRIME} AS x
+  FROM shingle)
+"""
+
+
+def _minhash_cols_sql(num_hashes: int) -> str:
+    """min((A_j*x + B_j) mod P) columns with the engine's exact constants."""
+    from rml_utils_processor_ts_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    return ",\n  ".join(
+        f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS h{j}"
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+
 _MINHASH_SQL = f"""
 WITH {_SHINGLE_CTE},
-shingle AS (SELECT doc_id, unnest(gs) AS sh FROM grams)
+shingle AS (SELECT doc_id, unnest(gs) AS sh FROM grams),
+{_minhash_fingerprint_cte().strip()}
 SELECT doc_id AS id,
-       min(md5('0|' || sh)) AS h0,
-       min(md5('1|' || sh)) AS h1,
-       min(md5('2|' || sh)) AS h2,
-       min(md5('3|' || sh)) AS h3
-FROM shingle GROUP BY doc_id
+  {_minhash_cols_sql(4)}
+FROM fp GROUP BY doc_id
 """
 
 _JACCARD_SQL = f"""
@@ -836,7 +857,7 @@ def _minhash_lsh_pairs_sql(num_hashes: int = 16, bands: int = 4, threshold: floa
     (capped) -> candidate self-join -> exact-Jaccard verify — the DuckDB
     twin of operators/dedup.minhash_dedup_pairs."""
     rows = num_hashes // bands
-    minhash_cols = ",\n  ".join(f"min(md5('{j}|' || sh)) AS h{j}" for j in range(num_hashes))
+    minhash_cols = _minhash_cols_sql(num_hashes)
     sep = " || '|' || "
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, %d AS band, md5(%s) AS bh FROM sigs"
@@ -846,7 +867,8 @@ def _minhash_lsh_pairs_sql(num_hashes: int = 16, bands: int = 4, threshold: floa
     return f"""
 WITH {_SHINGLE_CTE},
 shingle AS (SELECT doc_id, unnest(gs) AS sh FROM grams),
-sigs AS (SELECT doc_id, {minhash_cols} FROM shingle GROUP BY doc_id),
+{_minhash_fingerprint_cte().strip()},
+sigs AS (SELECT doc_id, {minhash_cols} FROM fp GROUP BY doc_id),
 banded AS ({band_selects}),
 bucket_sizes AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
 kept AS (SELECT banded.* FROM banded JOIN bucket_sizes USING (band, bh) WHERE n <= {max_bucket}),

@@ -11,9 +11,11 @@ Scale design:
     (one shuffle); LSH banding -> band-key self-join produces candidate
     pairs without the O(n^2) cross join; verification joins signatures
     back only for candidates.
-  * Hash function: md5 over (seed || shingle) — deterministic,
-    engine-portable (the DuckDB oracle reproduces it bit-for-bit), and
-    uniformly distributed; min taken lexicographically over hex.
+  * Hash function: universal-hash minhash — x = 31-bit fingerprint from
+    ONE md5(shingle), h_j = (A_j*x + B_j) mod (2^31-1) with fixed
+    md5-derived constants per permutation. Deterministic, engine-portable
+    (the DuckDB oracle reproduces it bit-for-bit), H-independent md5
+    cost, properly independent permutations.
   * Skew: band buckets with > max_bucket members are dropped (a hot
     bucket is a degenerate near-dup cluster; cap prevents a quadratic
     blowup on boilerplate-heavy corpora — standard practice at CC scale).
@@ -51,20 +53,52 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime; A*x + B stays < 2^62 (ANSI-safe)
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic per-permutation universal-hash constants (A_j, B_j),
+    derived from md5(j) — pure function of j, reproducible as SQL
+    literals in the DuckDB oracle (same pattern as similarity._hyperplanes)."""
+    import hashlib
+
+    params = []
+    for j in range(num_hashes):
+        a = 1 + int(hashlib.md5(f"mhA|{j}".encode()).hexdigest()[:8], 16) % (MINHASH_PRIME - 1)
+        b = int(hashlib.md5(f"mhB|{j}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """(id, h0..h{H-1}): h_j = min over shingles of md5(j || '|' || shingle).
+    """(id, h0..h{H-1}): h_j = min over shingles of (A_j*x + B_j) mod P,
+    where x is a 31-bit fingerprint from ONE md5(shingle) — the standard
+    universal-hash minhash family (one permutation per (A_j, B_j) pair,
+    as in datasketch). One md5 per shingle instead of H (the hash
+    fan-out dominated wall time at H=16); per-permutation multipliers
+    keep the H signatures independent (a naive a+j*b double-hash lets
+    one shingle minimize every j and guts LSH recall — caught by
+    test_minhash_lsh_finds_near_dups). Engine-portable bit-for-bit: the
+    DuckDB oracle inlines the same constants.
 
     One explode + one groupBy with H min-aggregates — a single shuffle
     keyed by document id, partial-aggregated map-side.
     """
     shingled = word_shingles(df, text_col, id_col, k)
+    x = shingled.select(
+        "id",
+        F.pmod(
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long"),
+            F.lit(MINHASH_PRIME),
+        ).alias("__x"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.min(F.pmod(F.lit(a) * F.col("__x") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return shingled.groupBy("id").agg(*aggs)
+    return x.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
