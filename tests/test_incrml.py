@@ -176,6 +176,44 @@ def test_expanded_plan_executes_cdc_end_to_end(spark, tmp_path):
     assert ev2 == {("http://ex.org/e/1", "Update")}
 
 
+def test_expanded_ldes_base_iri_end_to_end(spark, tmp_path):
+    """IncRML expansion with an LDES target carrying ldesBaseIRI +
+    tree:shape: the executed create events are versioned members hanging
+    off the stream IRI, and the stream metadata quads are emitted."""
+    doc = mk_tm(0, template="http://ex.org/e/{@id}", poms=[POM_REF.format(n=0)])
+    cfg = IncRMLConfig(
+        state_base_path=str(tmp_path / "st"),
+        target=LDESTargetConfig(
+            target_path="file:///out.nq",
+            ldes_base_iri="http://ex.org/stream",
+            shape="http://ex.org/shape",
+        ),
+    )
+    inc = expand_to_incrml(parse_mapping(doc), cfg)
+    for tm in inc.triples_maps:
+        lt = tm.subject_map.logical_target
+        assert lt.ldes_base_iri == "http://ex.org/stream"
+        assert lt.ldes_shape == "http://ex.org/shape"
+        tm.logical_source.source = (
+            "inline:" + '<root><Data id="1"><Prop0 Value="a"/></Data></root>'
+        )
+    store = StateStore(spark, str(tmp_path / "state_store"))
+    res = PlanExecutor(spark, state_store=store, version_ts="2024-01-01T00:00:00Z").execute(inc)
+    rows = res.triples.collect()
+    tree = "https://w3id.org/tree#"
+    ldes = "https://w3id.org/ldes#"
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["p"], set()).add((r["s"], r["o"]))
+    member = "http://ex.org/e/1#2024-01-01T00:00:00Z"
+    assert ("http://ex.org/stream", member) in by_p[tree + "member"]
+    assert ("http://ex.org/stream", ldes + "EventStream") in by_p[
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    ]
+    assert ("http://ex.org/stream", "http://ex.org/shape") in by_p[tree + "shape"]
+    assert (member, "http://ex.org/e/1") in by_p["http://purl.org/dc/terms/isVersionOf"]
+
+
 def test_mixed_xml_csv_mapping_6_tms_with_watched_forms():
     """≙ incrml.test.ts:245-287 — XML TM + CSV TM (different entities) ->
     6 TMs; XML watched uses the XPath concat form, CSV uses
