@@ -94,7 +94,10 @@ def _json_value_to_str(v) -> str | None:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (dict, list)):
-        return json.dumps(v, separators=(",", ":"), sort_keys=True)
+        # document key order + minified + raw unicode: matches what the
+        # JVM fast path (from_json string coercion) emits for the same
+        # value, so fast/slow paths agree byte-for-byte
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
     return str(v)
 
 
@@ -206,6 +209,30 @@ def _xml_fast_records_from_frags(frags: DataFrame, rec_struct, extract, passthro
     return parsed.select(*passthrough, *cols)
 
 
+def _json_fast_path_plan(iterator: str | None, refs: list[str]):
+    """JVM-native JSON iteration for the dominant corpus shape: iterator
+    ``$.[*]``/``$[*]`` over an array of objects with top-level-key
+    references. Compiles to builtin ``from_json(array<struct<string...>>)``
+    + ``explode`` (whole-stage codegen — the JSON analog of the XML fast
+    path; the Arrow-UDF tree-walker remains for every other shape).
+    from_json's string coercion matches the Python path's value
+    rendering: numbers normalized ("1.50"->"1.5"), booleans lowercase,
+    nested objects minified in document order, missing/null -> NULL."""
+    import re
+
+    it = (iterator or "").strip()
+    if it not in ("$.[*]", "$[*]"):
+        return None
+    for ref in refs:
+        # top-level plain keys only: dots mean nested paths, @/$ mean
+        # jsonpath operators — those take the tree-walking path
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_-]*", ref):
+            return None
+    return T.ArrayType(
+        T.StructType([T.StructField(r, T.StringType(), True) for r in refs])
+    )
+
+
 def _records_schema(refs: list[str]) -> T.ArrayType:
     return T.ArrayType(
         T.StructType([T.StructField(ref_column_name(r), T.StringType(), True) for r in refs])
@@ -270,6 +297,15 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
                 with_frags.filter(nested).drop("__frags"), payload_col, "xpath", ls.iterator, refs, passthrough
             )
             return fast.unionByName(slow)
+    if ls.kind == "jsonpath" and os.environ.get("RML_JSON_FAST_PATH", "1") != "0":
+        schema = _json_fast_path_plan(ls.iterator, refs)
+        if schema is not None:
+            recs = df.withColumn("__recs", F.from_json(F.col(payload_col), schema))
+            exploded = recs.select(*passthrough, F.explode("__recs").alias("__rec"))
+            return exploded.select(
+                *passthrough,
+                *[F.col("__rec").getField(r).alias(ref_column_name(r)) for r in refs],
+            )
     return _python_iterate_records(df, payload_col, ls.kind, ls.iterator, refs, passthrough)
 
 
