@@ -79,6 +79,47 @@ def test_ntriples_drops_graph_and_dedupes(spark):
     assert f'<{EX}001> <http://www.w3.org/2000/01/rdf-schema#label> "some data" .' in lines
 
 
+def test_turtle_roundtrips_through_own_parser(spark):
+    """The Turtle sink's escaping must survive a round trip through the
+    repo's own Turtle parser: quotes, backslashes, newlines, tabs,
+    unicode, datatypes, language tags, blank nodes."""
+    from rml_utils_processor_ts_spark.plans.turtle import parse_turtle
+
+    rows = [
+        ("http://x/s1", "IRI", "http://x/p", 'quote " backslash \\ tab\tnewline\nend', "Literal", None, None, None, "default"),
+        ("http://x/s1", "IRI", "http://x/p", "café ünïcode", "Literal", None, "fr", None, "default"),
+        ("http://x/s1", "IRI", "http://x/q", "42", "Literal", "http://www.w3.org/2001/XMLSchema#integer", None, None, "default"),
+        ("b0", "BlankNode", "http://x/p", "http://x/o", "IRI", None, None, None, "default"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s string, s_termtype string, p string, o string, o_termtype string, o_datatype string, o_lang string, g string, target_id string",
+    )
+    text = "\n".join(r["line"] for r in turtle_subject_lines(df).collect())
+    triples = parse_turtle(text)
+    got = {
+        (
+            s.value if s.kind == "iri" else "_:" + s.value,
+            p.value,
+            o.value,
+            o.datatype,
+            o.lang,
+        )
+        for (s, p, o) in triples
+    }
+    assert (
+        "http://x/s1",
+        "http://x/p",
+        'quote " backslash \\ tab\tnewline\nend',
+        None,
+        None,
+    ) in got
+    assert any(o == "café ünïcode" and l == "fr" for (_, _, o, _, l) in got)
+    assert any(o == "42" and d == "http://www.w3.org/2001/XMLSchema#integer" for (_, _, o, d, _) in got)
+    assert ("_:b0", "http://x/p", "http://x/o", None, None) in got
+    assert len(triples) == 4
+
+
 def test_write_targets_honors_serialization(spark, tmp_path):
     """Two logical targets with different rmlt:serialization + a default
     TM: each lands in its declared format."""
