@@ -28,7 +28,8 @@ def two_phase_agg(
     """Salted two-phase aggregation: groupBy (key, salt) -> partial, then
     groupBy key -> final. Bounds any single reducer's input to ~1/n_salt
     of the hottest key. ``aggs``: output name -> 'count' | 'sum:col' |
-    'min:col' | 'max:col' (algebraic aggregates only — they re-combine)."""
+    'min:col' | 'max:col' | 'avg:col' (algebraic aggregates only — avg
+    decomposes into a (sum, count) pair that re-combines)."""
     salted = df.withColumn("__salt", salt_column(F.concat_ws("\x00", *[F.col(c) for c in key_cols]), n_salt))
     partial_exprs = []
     final_exprs = []
@@ -38,10 +39,14 @@ def two_phase_agg(
             final_exprs.append(F.sum(f"__p_{name}").alias(name))
         else:
             op, _, col = spec.partition(":")
+            if op == "avg":
+                partial_exprs.append(F.sum(col).alias(f"__ps_{name}"))
+                partial_exprs.append(F.count(col).alias(f"__pc_{name}"))
+                final_exprs.append((F.sum(f"__ps_{name}") / F.sum(f"__pc_{name}")).alias(name))
+                continue
             fn = {"sum": F.sum, "min": F.min, "max": F.max}[op]
             partial_exprs.append(fn(col).alias(f"__p_{name}"))
-            refn = {"sum": F.sum, "min": F.min, "max": F.max}[op]
-            final_exprs.append(refn(f"__p_{name}").alias(name))
+            final_exprs.append(fn(f"__p_{name}").alias(name))
     partial = salted.groupBy(*key_cols, "__salt").agg(*partial_exprs)
     return partial.groupBy(*key_cols).agg(*final_exprs)
 

@@ -16,4 +16,4 @@ from .nquads import (  # noqa: F401
     write_turtle,
 )
 from .router import write_targets  # noqa: F401
-from .triple_table import write_triple_table  # noqa: F401
+from .triple_table import write_bucketed_table, write_triple_table  # noqa: F401

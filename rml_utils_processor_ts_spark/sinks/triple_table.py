@@ -90,6 +90,30 @@ def read_triple_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, f"v_{v}", "data"))
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 16,
+) -> None:
+    """Persist a table hash-BUCKETED (and sorted) by the join key —
+    Spark's co-located-join primitive: two tables bucketed the same way
+    join with ZERO Exchange on either side (the sandbox analog of
+    Iceberg bucket partition transforms). Use for dimension/fact pairs
+    that join repeatedly on the same key (referencing object maps,
+    entity-linking dictionaries, CDC state): the shuffle is paid once at
+    write time instead of per query."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
 def completed_runs(spark: SparkSession, path: str) -> set[str]:
     """Resume support: run ids whose lineage is already committed — the
     planner skips them (north_rule resumability)."""

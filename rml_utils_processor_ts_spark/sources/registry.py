@@ -320,6 +320,13 @@ def records_df(
     metadata columns when the source is a page table."""
     passthrough = passthrough or []
     src = ls.source
+    if src.startswith("memory:"):
+        # pre-built document frame (micro-batch execution, tests): the
+        # registered DataFrame's ``doc`` column iterates exactly like a
+        # file-backed document source
+        df = get_memory_source(src[len("memory:"):])
+        keep = [c for c in passthrough if c in df.columns]
+        return _iterate_docs_df(df, "doc", ls, refs, keep)
     if src.startswith("kafka://") or ls.kind == "kafka":
         stream = kafka_stream_df(spark, ls)
         return kafka_records_df(stream, ls, refs, passthrough)
@@ -432,3 +439,21 @@ def fetch_http_source(url: str, timeout: float = 15.0) -> str:
 
     with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
         return resp.read().decode("utf-8")
+
+
+# -- memory sources ------------------------------------------------------------
+# ``memory:<key>`` logical-source locations resolve to DataFrames
+# registered here — how foreachBatch micro-batches (and tests) feed a
+# pre-built document frame through the same plan the batch engine runs.
+
+_MEMORY_SOURCES: dict[str, DataFrame] = {}
+
+
+def register_memory_source(key: str, df: DataFrame) -> None:
+    _MEMORY_SOURCES[key] = df
+
+
+def get_memory_source(key: str) -> DataFrame:
+    if key not in _MEMORY_SOURCES:
+        raise ValueError(f"memory source {key!r} not registered")
+    return _MEMORY_SOURCES[key]

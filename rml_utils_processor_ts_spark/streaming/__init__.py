@@ -7,4 +7,5 @@ event-stream processing (Kafka-style) is Structured Streaming
 (windows.py).
 """
 
+from .microbatch import MicroBatchMappingRunner  # noqa: F401
 from .snapshots import SnapshotRunner  # noqa: F401

@@ -1,0 +1,89 @@
+"""Micro-batch RML execution: run a (possibly stateful/IncRML) mapping
+incrementally over a Structured-Streaming source via ``foreachBatch``.
+
+This is the Spark-native form of the reference's re-map-on-update loop
+(/root/reference/src/rml/rml.ts:372-424): where the reference replays
+each pushed snapshot through the Java engine, here every micro-batch of
+documents runs through the SAME PlanExecutor the batch engine uses —
+one code path, two execution modes. Structured Streaming provides the
+FIFO sequencing (A5) and exactly-one-epoch-at-a-time semantics the
+reference implements with promise chaining; CDC state commits through
+the versioned StateStore after each batch, so a killed stream resumes
+from the last committed state snapshot.
+
+At cluster scale the stream source is Kafka
+(``sources.registry.kafka_stream_df``) or file arrivals; per-batch
+output lands in the triple table / LDES targets via sinks.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cdc import StateStore
+from ..operators.executor import ExecutionResult, PlanExecutor
+from ..plans.model import MappingPlan
+from ..plans.rml_parser import parse_mapping
+from ..sources.registry import register_memory_source
+
+
+@dataclass
+class MicroBatchMappingRunner:
+    """Execute a mapping per micro-batch.
+
+    ``mapping_text`` declares its logical source(s) normally; every
+    declared source location is rebound per batch to the batch's
+    document frame (column ``doc``), preserving each source's iterator/
+    referenceFormulation. Results accumulate in ``results`` (one
+    ExecutionResult per batch, triples materialized).
+    """
+
+    spark: SparkSession
+    mapping_text: str
+    state_root: str | None = None
+    publisher_ref: str | None = None
+    results: list[ExecutionResult] = field(default_factory=list)
+
+    def __post_init__(self):
+        self._plan: MappingPlan = parse_mapping(self.mapping_text)
+        self._store = (
+            StateStore(self.spark, self.state_root) if self.state_root else None
+        )
+        self._key = f"mb_{id(self)}"
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> ExecutionResult:
+        """The foreachBatch body — also callable directly with any static
+        document frame (how tests drive deterministic sequences)."""
+        register_memory_source(self._key, batch_df)
+        bound = deepcopy(self._plan)
+        for tm in bound.triples_maps:
+            tm.logical_source.source = f"memory:{self._key}"
+        ex = PlanExecutor(
+            self.spark, state_store=self._store, publisher_ref=self.publisher_ref
+        )
+        result = ex.execute(bound)
+        from .snapshots import _materialize_triples
+
+        # materialize before the state commit (same invariant as the
+        # snapshot runner: a batch's output must not observe its own
+        # state update)
+        result.triples = _materialize_triples(result.triples)
+        if self._store is not None:
+            self._store.commit_all(result.state_updates)
+        self.results.append(result)
+        return result
+
+    def start(self, stream_df: DataFrame, query_name: str = "rml_microbatch", **options):
+        """Attach to a streaming document frame (one ``doc`` per row) and
+        start the query; each epoch executes the mapping once."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .queryName(query_name)
+            .options(**options)
+            .start()
+        )

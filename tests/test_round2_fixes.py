@@ -176,6 +176,40 @@ def test_canonicalize_triples_shuffle_join_path(spark):
     assert shuffled == default and len(default) == n_customers
 
 
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located joins: two tables bucketed+sorted on the join key join
+    with no Exchange in the physical plan (shuffle paid once at write
+    time — the scale pattern for repeated fact/dimension joins)."""
+    from rml_utils_processor_ts_spark.sinks import write_bucketed_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    write_bucketed_table(orders, "t_orders_b", str(tmp_path / "ob"), "o_custkey", 8)
+    write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "t_customer_b",
+        str(tmp_path / "cb"),
+        "o_custkey",
+        8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(spark.table("t_customer_b"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        plain = orders.join(
+            customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        ).count()
+        assert n == plain and n > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
 def test_fused_group_mixed_subject_termtypes(spark):
     """Fused same-source projection carries a per-TriplesMap s_termtype."""
     mapping = """

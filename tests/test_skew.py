@@ -9,13 +9,18 @@ from rml_utils_processor_ts_spark.operators.skew import split_hot_keys, two_phas
 def test_two_phase_agg_matches_plain(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     salted = two_phase_agg(
-        events, ["event_type"], {"n": "count", "total": "sum:value", "mx": "max:value"}
+        events,
+        ["event_type"],
+        {"n": "count", "total": "sum:value", "mx": "max:value", "mean": "avg:value"},
     )
     plain = events.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("value").alias("total"), F.max("value").alias("mx")
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+        F.max("value").alias("mx"),
+        F.avg("value").alias("mean"),
     )
-    a = {(r["event_type"], r["n"], round(r["total"], 6), r["mx"]) for r in salted.collect()}
-    b = {(r["event_type"], r["n"], round(r["total"], 6), r["mx"]) for r in plain.collect()}
+    a = {(r["event_type"], r["n"], round(r["total"], 6), r["mx"], round(r["mean"], 6)) for r in salted.collect()}
+    b = {(r["event_type"], r["n"], round(r["total"], 6), r["mx"], round(r["mean"], 6)) for r in plain.collect()}
     assert a == b
 
 

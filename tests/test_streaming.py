@@ -116,6 +116,61 @@ def test_streaming_cdc_applyinpandaswithstate(spark, tmp_path):
     assert ("e2", "update") not in rows and ("e2", "delete") not in rows
 
 
+def test_microbatch_rml_stream_cdc_sequence(spark, tmp_path):
+    """IncRML-over-a-stream: a real Structured-Streaming file source
+    drives the STATEFUL RML mapping through foreachBatch — batch 1 all
+    Create, batch 2 one Update (epochs execute the same PlanExecutor the
+    batch engine uses; state commits per epoch)."""
+    import os
+
+    from fixtures import RML_STATEFUL
+
+    from rml_utils_processor_ts_spark.streaming.microbatch import MicroBatchMappingRunner
+
+    src = tmp_path / "docs"
+    os.makedirs(src)
+
+    def write_doc(name, xml):
+        spark.createDataFrame([(xml,)], "doc string").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    write_doc("b1", '<r><data id="001" label="a"/><data id="002" label="b"/></r>')
+
+    runner = MicroBatchMappingRunner(
+        spark,
+        RML_STATEFUL.format(source="dataset/data.xml"),
+        state_root=str(tmp_path / "state"),
+    )
+    stream = (
+        spark.readStream.schema("doc string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = runner.start(stream, query_name="rml_mb_test")
+    try:
+        q.processAllAvailable()
+        write_doc("b2", '<r><data id="001" label="CHANGED"/><data id="002" label="b"/></r>')
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(runner.results) == 2
+
+    def events(result):
+        return {
+            (r["s"], r["o"].rsplit("#", 1)[-1])
+            for r in result.triples.collect()
+            if r["p"] == EX + "lifeCycleType"
+        }
+
+    assert events(runner.results[0]) == {
+        (EX + "001", "Create"),
+        (EX + "002", "Create"),
+    }
+    assert events(runner.results[1]) == {(EX + "001", "Update")}
+
+
 def test_trigger_source_requires_fresh_snapshot(spark):
     """≙ A6 trigger reset (rml.ts:416-424): a trigger source's data is
     consumed by each run — new snapshots of OTHER sources alone don't
