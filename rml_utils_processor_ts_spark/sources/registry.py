@@ -14,12 +14,21 @@ Source location conventions:
 * plain path + kind 'xpath'/'jsonpath'  — whole-document text file(s),
   one record set per file (B2/B3); matches the reference's
   snapshot-temp-file model (``/root/reference/src/rml/rml.ts:300``).
+* ``http(s)://...`` or a WoT source description (td:hasForm/
+  hctl:hasTarget) — driver-side fetch, one snapshot per run (B5).
+* ``kafka://broker/topic`` / rmls: blank nodes — Structured-Streaming
+  Kafka scan; message values iterate like any document source (B5).
 * ``inline:<payload>``                  — document provided inline
   (tests / snapshot pushes).
+* ``memory:<key>``                      — a registered DataFrame of
+  documents (foreachBatch micro-batches, tests).
 
-XML/JSON iteration is a vectorized Arrow-batched stage (``pandas_udf``
-returning ``array<struct<...>>`` then ``explode``): the only Python in
-the pipeline, batched per Arrow chunk, never per-row Python UDFs.
+Iteration strategy: common shapes run JVM-side with whole-stage codegen
+(XML ``//tag`` iterators via regex fragments + ``from_xml`` with
+per-row self-nesting detection; JSON array iterators via ``from_json``
++ ``explode``); everything else runs in a vectorized Arrow-batched
+``pandas_udf`` returning ``array<struct<...>>`` — batched per Arrow
+chunk, never per-row Python UDFs.
 """
 
 from __future__ import annotations
