@@ -35,8 +35,23 @@ def _param(fn: FunctionCall, *names: str) -> TermMap | None:
     return None
 
 
+def param_sort_key(key: str) -> tuple[str, int]:
+    """Document-order sort key for repeated parameters: '#N' suffixes
+    compare NUMERICALLY (plain lexicographic sort puts #10 before #2,
+    which would scramble grel:array_join element order — and watched
+    fingerprints — past 10 repeated params)."""
+    base, sep, n = key.rpartition("#")
+    if sep and n.isdigit():
+        return (base, int(n))
+    return (key, -1)
+
+
+def sorted_params(fn: FunctionCall):
+    return sorted(fn.params.items(), key=lambda kv: param_sort_key(kv[0]))
+
+
 def _positional_params(fn: FunctionCall, prefix_hints: tuple[str, ...]) -> list[TermMap]:
-    return [tm for key, tm in sorted(fn.params.items()) if any(h in key for h in prefix_hints)]
+    return [tm for key, tm in sorted_params(fn) if any(h in key for h in prefix_hints)]
 
 
 def compile_function(fn: FunctionCall, compile_term: Callable[[TermMap, str], Column]) -> Column:
@@ -78,11 +93,11 @@ def compile_function(fn: FunctionCall, compile_term: Callable[[TermMap, str], Co
         # (watched-property fingerprints, /root/reference/src/rml/incrml.ts:486-507)
         sep_tm = _param(fn, voc.GREL_PARAM_STRING_SEP)
         sep = sep_tm.constant if sep_tm is not None and sep_tm.constant is not None else "&"
-        parts = [compile_term(tm, "value") for key, tm in sorted(fn.params.items()) if voc.GREL_PARAM_A in key]
+        parts = [compile_term(tm, "value") for key, tm in sorted_params(fn) if voc.GREL_PARAM_A in key]
         if not parts:
             parts = [
                 compile_term(tm, "value")
-                for key, tm in sorted(fn.params.items())
+                for key, tm in sorted_params(fn)
                 if key != voc.GREL_PARAM_STRING_SEP
             ]
         return F.concat_ws(sep, *parts)

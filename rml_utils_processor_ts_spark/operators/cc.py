@@ -20,8 +20,30 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# spark.sql.constraintPropagation is SESSION-global: two threads
+# toggling it independently can re-enable it mid-localCheckpoint in the
+# other thread and resurrect the Spark 4.1.2 UnionBase.rewriteConstraints
+# crash. One reentrant lock serializes every guarded region (cc loops,
+# snapshot/micro-batch materialization).
+_CP_LOCK = threading.RLock()
+_CP_KEY = "spark.sql.constraintPropagation.enabled"
+
+
+@contextmanager
+def constraint_propagation_disabled(spark):
+    with _CP_LOCK:
+        before = spark.conf.get(_CP_KEY, "true")
+        spark.conf.set(_CP_KEY, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(_CP_KEY, before)
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -66,13 +88,8 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     # children whose attribute maps went stale under relation dedup,
     # Spark 4.1.2). Constraints buy nothing for this loop's plans (no
     # filters to infer), so disable propagation for its duration.
-    cp_key = "spark.sql.constraintPropagation.enabled"
-    cp_before = spark.conf.get(cp_key, "true")
-    spark.conf.set(cp_key, "false")
-    try:
+    with constraint_propagation_disabled(spark):
         return _cc_loop(edges, max_iterations)
-    finally:
-        spark.conf.set(cp_key, cp_before)
 
 
 def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:

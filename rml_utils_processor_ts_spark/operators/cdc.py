@@ -67,10 +67,12 @@ def compile_watched_term(tm: TermMap, resolve) -> Column:
     fn = _watched_array_join(tm)
     if fn is None:
         return compile_term_map(tm, resolve, "value")
+    from ..functions.fno import sorted_params
+
     sep_tm = fn.params.get(voc.GREL_PARAM_STRING_SEP)
     sep = sep_tm.constant if sep_tm is not None and sep_tm.constant is not None else "&"
     parts: list[Column] = []
-    for key, p in sorted(fn.params.items()):
+    for key, p in sorted_params(fn):
         if voc.GREL_PARAM_A not in key:
             continue
         m = _WATCHED_CONST_RE.match(p.constant) if p.constant is not None else None
@@ -85,10 +87,12 @@ def watched_references(tm: TermMap) -> list[str]:
     """Source references a watchedProperty term reads — including the
     <ref> parts of 'propN=<ref>' array_join constants, so the executor's
     scan planning selects the watched columns."""
+    from ..functions.fno import sorted_params
+
     refs = list(tm.references())
     fn = _watched_array_join(tm)
     if fn is not None:
-        for key, p in sorted(fn.params.items()):
+        for key, p in sorted_params(fn):
             if voc.GREL_PARAM_A in key and p.constant is not None:
                 m = _WATCHED_CONST_RE.match(p.constant)
                 if m is not None and m.group(2) not in refs:

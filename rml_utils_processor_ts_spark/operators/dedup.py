@@ -270,7 +270,7 @@ def embedding_neardup_pairs_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup at scale: random-hyperplane LSH buckets replace
@@ -280,8 +280,9 @@ def embedding_neardup_pairs_lsh(
     (similarity._hyperplanes: deterministic, SQL-oracle-reproducible).
     Recall is the LSH guarantee: high-cosine pairs agree on sign bits
     with high probability; more planes = smaller buckets, lower recall."""
-    from .similarity import _dot, _hyperplanes, _norm, lsh_bucket_column
+    from .similarity import _dot, _hyperplanes, _norm, lsh_bucket_column, probe_dim
 
+    dim = probe_dim(emb, vec_col) if dim is None else dim
     planes = _hyperplanes(dim, n_planes, seed)
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "bucket", lsh_bucket_column(F.col("v"), planes)

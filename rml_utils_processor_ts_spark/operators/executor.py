@@ -403,10 +403,17 @@ class PlanExecutor:
                 meta.append((voc.LDES_VERSION_OF_PATH, lt.ldes_version_of_path or voc.DCT_IS_VERSION_OF))
                 if lt.ldes_shape:
                     meta.append((voc.TREE_SHAPE, lt.ldes_shape))
+                # metadata has no record context: it can only share the
+                # members' graph when the graph map is CONSTANT (a
+                # record-dependent graph map leaves it in the default
+                # graph) — splitting type/shape away from tree:member
+                # rows would strand the stream description
+                gm = tm.subject_map.graph_map
+                meta_graph = gm.constant if gm is not None and gm.constant is not None else None
                 ldes_frames.append(
                     self.spark.createDataFrame(
                         [
-                            (lt.ldes_base_iri, "IRI", p, o, "IRI", None, None, None, target_id)
+                            (lt.ldes_base_iri, "IRI", p, o, "IRI", None, None, meta_graph, target_id)
                             for p, o in meta
                         ],
                         ", ".join(f"{c} string" for c in TRIPLE_COLUMNS),

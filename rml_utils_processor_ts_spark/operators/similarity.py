@@ -63,6 +63,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def probe_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (one tiny driver
+    action at plan-build time). A dim mismatch against hardcoded
+    hyperplanes silently null-pads every dot product and collapses all
+    vectors into one LSH bucket — probing makes that impossible."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return row["d"]
+
+
 def lsh_bucket_column(vec_col, planes: list[list[float]]):
     """Signature column: one sign bit per hyperplane, concatenated."""
     bits = []
@@ -80,12 +91,13 @@ def lsh_ann_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Bucketed ANN: join queries to corpus rows sharing the LSH bucket,
     exact cosine within the bucket. At 100 TB the bucket column is a
     partition key — each query touches ~corpus/2^planes rows."""
+    dim = probe_dim(emb, vec_col) if dim is None else dim
     planes = _hyperplanes(dim, n_planes, seed)
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "bucket", lsh_bucket_column(F.col("v"), planes)

@@ -126,8 +126,16 @@ class LogicalSource:
     options: dict[str, str] = field(default_factory=dict)
 
     def key(self) -> str:
+        # the first three fields feed IncRML state-path hashing
+        # (plans/incrml._state_path splits on \x00 and uses [:2]) — new
+        # distinguishing fields append AFTER them. delimiter and
+        # payload_column must participate: two same-file CSV sources
+        # with different csvw:delimiter are different scans.
         opts = "\x01".join(f"{k}={v}" for k, v in sorted(self.options.items()))
-        return f"{self.source}\x00{self.iterator or ''}\x00{self.kind}\x00{opts}"
+        return (
+            f"{self.source}\x00{self.iterator or ''}\x00{self.kind}"
+            f"\x00{self.delimiter}\x00{self.payload_column}\x00{opts}"
+        )
 
 
 @dataclass

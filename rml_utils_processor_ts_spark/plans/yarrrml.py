@@ -259,10 +259,13 @@ def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
     datatype = None
     language = None
     if isinstance(obj_val, list):
-        datatype = _expand_prefixed(str(obj_val[1]), prefixes) if len(obj_val) > 1 else None
+        annotation = str(obj_val[1]) if len(obj_val) > 1 else None
         obj_val = obj_val[0]
-        if datatype and datatype.startswith("~lang"):
-            language, datatype = None, None
+        if annotation and annotation.endswith("~lang"):
+            # yarrrml language shorthand: [ex:name, $(name), en~lang]
+            language = annotation[: -len("~lang")]
+        elif annotation:
+            datatype = _expand_prefixed(annotation, prefixes)
     if isinstance(obj_val, dict) and ("function" in obj_val or "fn" in obj_val):
         obj = TermMap(function=_to_function(obj_val, prefixes, name))
     else:
@@ -314,38 +317,47 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
                 raise YarrrmlError(f"mapping {name}: subject dict without value")
         if isinstance(subj_val, list):
             subj_val = subj_val[0]
-        logical_target = None
-        if subj_targets:
-            tid = subj_targets[0]
+        tm_targets: list = []
+        for tid in subj_targets:
             if tid not in targets:
                 raise YarrrmlError(f"mapping {name}: unknown target {tid!r}")
-            logical_target = targets[tid]
+            tm_targets.append(targets[tid])
+        # a subject may declare several targets: one TriplesMap per
+        # target (a LogicalTarget lives on the subject map); no target
+        # -> one TM routed to the default sink
+        logical_targets = tm_targets or [None]
 
         graph_val = m.get("graph") or m.get("graphs")
         if isinstance(graph_val, list):
             graph_val = graph_val[0]
 
         # a mapping with N sources expands to N TriplesMaps over the same
-        # subject/po definitions (the @rmlio/yarrrml-parser expansion)
+        # subject/po definitions (the @rmlio/yarrrml-parser expansion);
+        # M declared subject targets expand again to M TMs per source
         for i, src_entry in enumerate(sources):
-            ls = _parse_source(src_entry, name)
-            ls.source = bindings.get(ls.source, ls.source)
-            tm_name = f"urn:yarrrml:{name}" if len(sources) == 1 else f"urn:yarrrml:{name}_{i}"
-            poms = [_parse_po(e, prefixes, name) for e in (m.get("po") or m.get("predicateobjects") or [])]
-            tms.append(
-                TriplesMap(
-                    name=tm_name,
-                    logical_source=ls,
-                    subject_map=SubjectMap(
-                        term_map=_to_template(str(subj_val), prefixes),
-                        graph_map=_to_template(str(graph_val), prefixes) if graph_val is not None else None,
-                        logical_target=logical_target,
-                    ),
-                    predicate_object_maps=poms,
-                    label=str(name),
+            for j, logical_target in enumerate(logical_targets):
+                ls = _parse_source(src_entry, name)
+                ls.source = bindings.get(ls.source, ls.source)
+                tm_name = f"urn:yarrrml:{name}"
+                if len(sources) > 1:
+                    tm_name += f"_{i}"
+                if len(logical_targets) > 1:
+                    tm_name += f"_t{j}"
+                poms = [_parse_po(e, prefixes, name) for e in (m.get("po") or m.get("predicateobjects") or [])]
+                tms.append(
+                    TriplesMap(
+                        name=tm_name,
+                        logical_source=ls,
+                        subject_map=SubjectMap(
+                            term_map=_to_template(str(subj_val), prefixes),
+                            graph_map=_to_template(str(graph_val), prefixes) if graph_val is not None else None,
+                            logical_target=logical_target,
+                        ),
+                        predicate_object_maps=poms,
+                        label=str(name),
+                    )
                 )
-            )
-            by_map_name.setdefault(f"urn:yarrrml:{name}", []).append(tm_name)
+                by_map_name.setdefault(f"urn:yarrrml:{name}", []).append(tm_name)
 
     # referencing object maps point at a MAPPING; a multi-source parent
     # fans out to one referencing POM per parent TriplesMap

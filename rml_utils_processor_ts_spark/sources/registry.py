@@ -416,13 +416,22 @@ def kafka_stream_df(spark: SparkSession, ls: LogicalSource) -> DataFrame:
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as e:  # noqa: BLE001 — connector jar absent
-        raise NotImplementedError(
-            f"Kafka logical source {ls.source!r}: plan wired "
-            f"(format=kafka, options={kafka_source_options(ls)}) but the "
-            "spark-sql-kafka connector jar is not on the classpath — add "
-            "org.apache.spark:spark-sql-kafka-0-10_2.13 via --packages"
-        ) from e
+    except Exception as e:  # noqa: BLE001
+        # only rewrap the MISSING-CONNECTOR failure; config/auth errors
+        # from a present connector must surface as themselves
+        msg = str(e)
+        if (
+            "Failed to find data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            raise NotImplementedError(
+                f"Kafka logical source {ls.source!r}: plan wired "
+                f"(format=kafka, options={kafka_source_options(ls)}) but the "
+                "spark-sql-kafka connector jar is not on the classpath — add "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13 via --packages"
+            ) from e
+        raise
 
 
 def kafka_records_df(
@@ -466,3 +475,7 @@ def get_memory_source(key: str) -> DataFrame:
     if key not in _MEMORY_SOURCES:
         raise ValueError(f"memory source {key!r} not registered")
     return _MEMORY_SOURCES[key]
+
+
+def unregister_memory_source(key: str) -> None:
+    _MEMORY_SOURCES.pop(key, None)

@@ -23,11 +23,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
+
 from ..operators.cdc import StateStore
 from ..operators.executor import ExecutionResult, PlanExecutor
 from ..plans.model import MappingPlan
 from ..plans.rml_parser import parse_mapping
-from ..sources.registry import register_memory_source
+from ..sources.registry import register_memory_source, unregister_memory_source
 
 
 @dataclass
@@ -54,25 +56,59 @@ class MicroBatchMappingRunner:
         )
         self._key = f"mb_{id(self)}"
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> ExecutionResult:
-        """The foreachBatch body — also callable directly with any static
-        document frame (how tests drive deterministic sequences)."""
-        register_memory_source(self._key, batch_df)
-        bound = deepcopy(self._plan)
-        for tm in bound.triples_maps:
-            tm.logical_source.source = f"memory:{self._key}"
-        ex = PlanExecutor(
-            self.spark, state_store=self._store, publisher_ref=self.publisher_ref
-        )
-        result = ex.execute(bound)
-        from .snapshots import _materialize_triples
+    def _marker_path(self) -> str | None:
+        return os.path.join(self.state_root, "_last_batch_id") if self.state_root else None
 
-        # materialize before the state commit (same invariant as the
-        # snapshot runner: a batch's output must not observe its own
-        # state update)
-        result.triples = _materialize_triples(result.triples)
+    def _last_committed_batch(self) -> int:
+        p = self._marker_path()
+        if p and os.path.exists(p):
+            with open(p) as fh:
+                return int(fh.read().strip())
+        return -1
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> ExecutionResult | None:
+        """The foreachBatch body — also callable directly with any static
+        document frame (how tests drive deterministic sequences).
+
+        Idempotent against Structured Streaming's at-least-once replay:
+        foreachBatch may re-deliver the last batch after a crash; a
+        replayed batch would compare against state that already includes
+        it and silently emit NO lifecycle events, so batches at or below
+        the committed marker are skipped instead of re-executed. The
+        marker is written after the state commit — a crash between the
+        two re-runs the batch against updated state, the one window this
+        file-based store can't close (Iceberg multi-table transactions
+        close it at cluster scale)."""
+        if batch_id <= self._last_committed_batch():
+            return None
+        register_memory_source(self._key, batch_df)
+        try:
+            bound = deepcopy(self._plan)
+            for tm in bound.triples_maps:
+                tm.logical_source.source = f"memory:{self._key}"
+            ex = PlanExecutor(
+                self.spark, state_store=self._store, publisher_ref=self.publisher_ref
+            )
+            result = ex.execute(bound)
+            from .snapshots import _materialize_triples
+
+            # materialize before the state commit (same invariant as the
+            # snapshot runner: a batch's output must not observe its own
+            # state update)
+            result.triples = _materialize_triples(result.triples)
+        finally:
+            # the triples are materialized — the batch frame is no longer
+            # referenced; keeping it registered would pin every runner's
+            # last batch for the life of the process
+            unregister_memory_source(self._key)
         if self._store is not None:
             self._store.commit_all(result.state_updates)
+            marker = self._marker_path()
+            if marker:
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(str(batch_id))
+                os.replace(tmp, marker)
         self.results.append(result)
         return result
 

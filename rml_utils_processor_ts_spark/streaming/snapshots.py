@@ -122,19 +122,16 @@ class SnapshotRunner:
 def _materialize_triples(df):
     """localCheckpoint with the Spark 4.1.2 guard: constraint propagation
     disabled during normalization (UnionBase.rewriteConstraints crashes on
-    CDC plans whose union branches share a relation — same root cause as
-    operators/cc.py), RDD-roundtrip fallback."""
+    CDC plans whose union branches share a relation — same root cause and
+    shared lock as operators/cc.py), RDD-roundtrip fallback."""
+    from ..operators.cc import constraint_propagation_disabled
+
     spark = df.sparkSession
-    cp_key = "spark.sql.constraintPropagation.enabled"
-    cp_before = spark.conf.get(cp_key, "true")
-    spark.conf.set(cp_key, "false")
-    try:
+    with constraint_propagation_disabled(spark):
         try:
             return df.localCheckpoint(eager=True)
         except Exception:  # noqa: BLE001 — Py4JJavaError, resolver bug
             return spark.createDataFrame(df.rdd, df.schema).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(cp_key, cp_before)
 
 
 def _rebind_tm(tm, bindings: dict[str, str]):

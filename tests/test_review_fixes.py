@@ -1,0 +1,186 @@
+"""Regression tests for the round-2 self-review findings: YARRRML
+language tags + multi-target subjects, repeated-param ordering past 10,
+scan-cache keys with delimiter, embedding-dim probing, LDES metadata
+graphs, micro-batch replay idempotence, memory-source lifecycle."""
+
+from pyspark.sql import functions as F
+
+from rml_utils_processor_ts_spark.operators.executor import PlanExecutor, execute_mapping
+from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+from rml_utils_processor_ts_spark.plans.yarrrml import yarrrml_to_plan
+
+
+def test_yarrrml_language_tag_shorthand(spark):
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - [ex:name, $(name), en~lang]
+            - [ex:size, $(size), xsd:integer]
+"""
+    plan = yarrrml_to_plan(doc, {"d.json": 'inline:[{"id": "1", "name": "x", "size": "5"}]'})
+    poms = plan.triples_maps[0].predicate_object_maps
+    assert poms[0].object.language == "en" and poms[0].object.datatype is None
+    assert poms[1].object.datatype == "http://www.w3.org/2001/XMLSchema#integer"
+    rows = {r["p"]: r for r in PlanExecutor(spark).execute(plan).triples.collect()}
+    assert rows["http://example.org/name"]["o_lang"] == "en"
+    assert rows["http://example.org/size"]["o_datatype"].endswith("integer")
+
+
+def test_yarrrml_multiple_subject_targets(spark, tmp_path):
+    from rml_utils_processor_ts_spark.sinks import write_targets
+
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+targets:
+    t1: ["a.nq~void", "nquads"]
+    t2: ["b.nt~void", "ntriples"]
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s:
+            value: ex:$(id)
+            targets: [t1, t2]
+        po:
+            - [ex:name, $(name)]
+"""
+    plan = yarrrml_to_plan(doc, {"d.json": 'inline:[{"id": "1", "name": "x"}]'})
+    assert len(plan.triples_maps) == 2
+    result = PlanExecutor(spark).execute(plan)
+    written = write_targets(result, plan, str(tmp_path))
+    assert set(written) == {"urn:yarrrml:target:t1", "urn:yarrrml:target:t2"}
+
+
+def test_repeated_params_order_past_ten(spark):
+    """12 repeated grel:p_array_a params must join in document order —
+    lexicographic '#N' sorting would put #10 before #2."""
+    from rml_utils_processor_ts_spark.functions.fno import compile_function, param_sort_key
+    from rml_utils_processor_ts_spark.plans import voc
+    from rml_utils_processor_ts_spark.plans.model import FunctionCall, TermMap
+
+    keys = [f"{voc.GREL_PARAM_A}#{i}" for i in range(12)]
+    assert sorted(keys, key=param_sort_key) == keys
+    fn = FunctionCall(
+        function_iri=voc.GREL_ARRAY_JOIN,
+        params={
+            voc.GREL_PARAM_STRING_SEP: TermMap(constant="&"),
+            **{k: TermMap(constant=f"v{i}") for i, k in enumerate(keys)},
+        },
+    )
+    col = compile_function(fn, lambda tm, pos: F.lit(tm.constant))
+    got = spark.range(1).select(col.alias("x")).first()["x"]
+    assert got == "&".join(f"v{i}" for i in range(12))
+
+
+def test_same_file_different_delimiters_not_cache_collided(spark, tmp_path):
+    """Two csvw sources over the SAME file with different delimiters are
+    different scans (the scan-cache key includes the dialect)."""
+    p = tmp_path / "multi.csv"
+    p.write_text("a;b,c\nx;y,z\n")  # header 'a;b' + 'c' under ','; 'a' + 'b,c' under ';'
+    mapping = f"""
+ex:m_comma a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source [ a csvw:Table ; csvw:url "{p}" ] ;
+        rml:referenceFormulation ql:CSV ] ;
+    rr:subjectMap [ rr:template "http://x/comma/{{c}}" ] ;
+    rr:predicateObjectMap [ rr:predicateMap [ rr:constant <http://x/p> ] ;
+        rr:objectMap [ rml:reference "a;b" ] ] .
+
+ex:m_semi a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source [ a csvw:Table ; csvw:url "{p}" ;
+            csvw:dialect [ csvw:delimiter ";" ] ] ;
+        rml:referenceFormulation ql:CSV ] ;
+    rr:subjectMap [ rr:template "http://x/semi/{{a}}" ] ;
+    rr:predicateObjectMap [ rr:predicateMap [ rr:constant <http://x/p> ] ;
+        rr:objectMap [ rml:reference "b,c" ] ] .
+"""
+    plan = parse_mapping(mapping)
+    keys = {tm.logical_source.key() for tm in plan.triples_maps}
+    assert len(keys) == 2
+    got = {(r["s"], r["o"]) for r in execute_mapping(spark, mapping).triples.collect()}
+    assert got == {("http://x/comma/z", "x;y"), ("http://x/semi/x", "y,z")}
+
+
+def test_embedding_lsh_probes_dim(spark):
+    """128-dim embeddings must hash against 128-weight hyperplanes — a
+    hardcoded 64 would null-pad dot products and collapse every vector
+    into one bucket."""
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_column,
+        probe_dim,
+    )
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(127)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+    d = probe_dim(emb, "embedding")
+    assert d == 128
+    buckets = {
+        r["b"]
+        for r in emb.select(
+            lsh_bucket_column(F.col("embedding"), _hyperplanes(d, 4, 42)).alias("b")
+        ).collect()
+    }
+    assert len(buckets) > 1, "distinct vectors must spread over buckets"
+
+
+def test_ldes_metadata_inherits_constant_graph(spark):
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "table:/root/testdata/sf0.001/region.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/r/{r_regionkey}" ;
+        rr:graphMap [ rr:constant "http://x/g" ] ;
+        rml:logicalTarget [ a rmlt:EventStreamTarget ;
+            rmlt:ldesBaseIRI <http://x/stream> ;
+            rmlt:ldesGenerateImmutableIRI "true"^^xsd:boolean ] ] ;
+    rr:predicateObjectMap [ rr:predicateMap [ rr:constant <http://x/name> ] ;
+        rr:objectMap [ rml:reference "r_name" ] ] .
+"""
+    res = execute_mapping(spark, mapping, version_ts="2024-01-01T00:00:00Z")
+    stream_rows = [r for r in res.triples.collect() if r["s"] == "http://x/stream"]
+    assert stream_rows and all(r["g"] == "http://x/g" for r in stream_rows)
+
+
+def test_microbatch_replay_is_idempotent(spark, tmp_path):
+    import pytest
+
+    from fixtures import RML_STATEFUL
+
+    from rml_utils_processor_ts_spark.sources.registry import get_memory_source
+    from rml_utils_processor_ts_spark.streaming.microbatch import MicroBatchMappingRunner
+
+    runner = MicroBatchMappingRunner(
+        spark,
+        RML_STATEFUL.format(source="dataset/data.xml"),
+        state_root=str(tmp_path / "state"),
+    )
+    batch = spark.createDataFrame(
+        [('<r><data id="001" label="a"/></r>',)], "doc string"
+    )
+    r1 = runner.process_batch(batch, 0)
+    assert r1 is not None and len(runner.results) == 1
+    # the batch frame must not stay registered after materialization
+    with pytest.raises(ValueError):
+        get_memory_source(runner._key)
+    # foreachBatch replay of the SAME batch id after a crash: skipped,
+    # not silently re-diffed against already-updated state
+    assert runner.process_batch(batch, 0) is None
+    assert len(runner.results) == 1
+    # the next epoch still executes
+    batch2 = spark.createDataFrame(
+        [('<r><data id="001" label="b"/></r>',)], "doc string"
+    )
+    r2 = runner.process_batch(batch2, 1)
+    assert r2 is not None and len(runner.results) == 2
