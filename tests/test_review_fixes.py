@@ -135,6 +135,47 @@ def test_embedding_lsh_probes_dim(spark):
     assert len(buckets) > 1, "distinct vectors must spread over buckets"
 
 
+def test_lsh_index_matches_adhoc_and_prunes_partitions(spark, tmp_path):
+    """The persisted LSH index returns the same top-k as the ad-hoc
+    bucketed query (same planes), and the candidate read touches only
+    the queries' bucket partitions."""
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        lsh_ann_topk,
+        lsh_index_topk,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    path = str(tmp_path / "idx")
+    meta = write_lsh_index(emb, path, n_planes=4)
+    assert meta["dim"] == 64
+    adhoc = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in lsh_ann_topk(emb, [0, 1, 2], k=5, n_planes=4).collect()
+    }
+    indexed_df = lsh_index_topk(spark, path, [0, 1, 2], k=5)
+    indexed = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in indexed_df.collect()
+    }
+    assert indexed == adhoc and len(indexed) > 0
+    # partition pruning: the bucket predicate lands in the scan's
+    # PartitionFilters (bucket is a partition column of the index)
+    import re
+
+    idx = spark.read.parquet(path)
+    buckets = {r["bucket"] for r in idx.filter(F.col("id").isin([0, 1, 2])).select("bucket").collect()}
+    plan = (
+        idx.filter(F.col("bucket").isin(sorted(buckets)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+
+
 def test_ldes_metadata_inherits_constant_graph(spark):
     mapping = """
 ex:m a rr:TriplesMap ;
