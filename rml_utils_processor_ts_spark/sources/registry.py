@@ -83,17 +83,21 @@ def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
 
 
 def _xml_eval_ref(el, ref: str):
+    # XPath string() of an EXISTING element is "" even when it has no
+    # text (empty-element references produce empty literals, matching
+    # the from_xml fast path — the two paths mix per row, so they must
+    # render identically); only a MISSING node yields null/no-triple.
     if ref.startswith("@"):
         return el.get(ref[1:])
     if ref == ".":
-        return (el.text or "").strip() or None
+        return (el.text or "").strip()
     if "/@" in ref:
         path, _, attr = ref.rpartition("/@")
         child = el.find(path)
         return child.get(attr) if child is not None else None
     child = el.find(ref)
     if child is not None:
-        return (child.text or "").strip() or None
+        return (child.text or "").strip()
     return None
 
 
@@ -226,7 +230,12 @@ def _json_fast_path_plan(iterator: str | None, refs: list[str]):
     path; the Arrow-UDF tree-walker remains for every other shape).
     from_json's string coercion matches the Python path's value
     rendering: numbers normalized ("1.50"->"1.5"), booleans lowercase,
-    nested objects minified in document order, missing/null -> NULL."""
+    big ints exact, nested objects minified in document order,
+    missing/null -> NULL. Known divergence: scientific-notation floats
+    render Java-style ("1.23E-7") vs Python's "1.23e-07" — harmless
+    within one query because the path choice is per-PLAN, never mixed
+    per row (unlike XML, where nested docs route per row and the two
+    paths are kept byte-identical)."""
     import re
 
     it = (iterator or "").strip()

@@ -176,6 +176,35 @@ def test_lsh_index_matches_adhoc_and_prunes_partitions(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
 
 
+def test_xml_fast_and_slow_paths_render_identically(spark):
+    """The XML fast path and the tree walker mix PER ROW (nested docs
+    route to the walker), so they must render values identically —
+    including empty child elements (XPath string() of an existing empty
+    element is '', not null) and whitespace-padded text."""
+    from rml_utils_processor_ts_spark.plans.model import LogicalSource
+    from rml_utils_processor_ts_spark.sources.registry import records_df, ref_column_name
+
+    flat = '<root><data id="1"><label>  padded  </label><empty></empty></data></root>'
+    nested = (
+        '<root><data id="1"><label>  padded  </label><empty></empty>'
+        '<data id="inner"><label>x</label></data></data></root>'
+    )
+    refs = ["@id", "label", "empty", "missing"]
+
+    def rows(doc):
+        ls = LogicalSource(source="inline:" + doc, kind="xpath", iterator="//data")
+        return {
+            tuple(r[ref_column_name(x)] for x in refs)
+            for r in records_df(spark, ls, refs).collect()
+        }
+
+    fast_rows = rows(flat)
+    slow_rows = rows(nested)
+    assert ("1", "padded", "", None) in fast_rows
+    assert ("1", "padded", "", None) in slow_rows, "empty element must be '' on both paths"
+    assert ("inner", "x", None, None) in slow_rows
+
+
 def test_ldes_metadata_inherits_constant_graph(spark):
     mapping = """
 ex:m a rr:TriplesMap ;
