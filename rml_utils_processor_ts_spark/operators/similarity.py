@@ -75,13 +75,26 @@ def probe_dim(emb: DataFrame, vec_col: str) -> int:
 
 
 def lsh_bucket_column(vec_col, planes: list[list[float]]):
-    """Signature column: one sign bit per hyperplane, concatenated."""
+    """Signature column: one sign bit per hyperplane, concatenated.
+    MUST stay bit-for-bit equivalent to :func:`py_bucket_of` (the
+    driver-side twin used for external query vectors) — a desync sends
+    queries to the wrong index partitions with recall silently ~0.
+    tests/test_review_fixes.py asserts the parity."""
     bits = []
     for w in planes:
         warr = F.array(*[F.lit(x) for x in w])
         proj = _dot(vec_col, warr)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def py_bucket_of(vec: list[float], planes: list[list[float]]) -> str:
+    """Driver-side twin of :func:`lsh_bucket_column` (same left-to-right
+    double fold, same >= 0 sign rule)."""
+    return "".join(
+        "1" if sum(w * x for w, x in zip(plane, vec)) >= 0 else "0"
+        for plane in planes
+    )
 
 
 def write_lsh_index(
@@ -106,16 +119,22 @@ def write_lsh_index(
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "bucket", lsh_bucket_column(F.col("v"), planes)
     )
+    # 'b' prefix keeps the bucket a STRING through partition-column
+    # type inference (an all-digit value like 0110 reads back as the
+    # integer 110 and only survives via implicit coercion)
+    base = base.withColumn("bucket", F.concat(F.lit("b"), F.col("bucket")))
     # co-locate each bucket before the partitioned write: without the
     # repartition every task writes a file into every bucket directory
     # (tasks x 2^planes tiny files) and query-time task overhead eats
     # the pruning win
     base.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
     meta = {"dim": dim, "n_planes": n_planes, "seed": seed}
-    import os as _os
-
-    with open(_os.path.join(path, "_lsh_meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    # metadata goes through Spark so non-local index paths (hdfs://,
+    # s3a://) work the same as local ones
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(dim, n_planes, seed)], "dim int, n_planes int, seed int"
+    ).coalesce(1).write.mode("overwrite").json(path + "/_lsh_meta")
     return meta
 
 
@@ -133,35 +152,48 @@ def lsh_index_topk(
     the right call shape for external queries; ``query_ids`` looks the
     vectors up in the index first (one column-pruned scan, amortized
     over the query batch)."""
-    import json as _json
-    import os as _os
-
-    with open(_os.path.join(index_path, "_lsh_meta.json")) as fh:
-        meta = _json.load(fh)
+    meta = spark.read.json(index_path + "/_lsh_meta").first().asDict()
     idx = spark.read.parquet(index_path)
     if query_vectors is not None:
-        planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
-
-        def bucket_of(vec: list[float]) -> str:
-            return "".join(
-                "1" if sum(w * x for w, x in zip(plane, vec)) >= 0 else "0"
-                for plane in planes
-            )
-
-        q_tuples = [(qid, list(vec), bucket_of(list(vec))) for qid, vec in query_vectors]
+        if not query_vectors:
+            raise ValueError("need query_ids or query_vectors")
+        planes = _hyperplanes(int(meta["dim"]), int(meta["n_planes"]), int(meta["seed"]))
+        q_tuples = [
+            (qid, list(vec), "b" + py_bucket_of(list(vec), planes))
+            for qid, vec in query_vectors
+        ]
+        # external query vectors are NOT corpus members: their ids live
+        # in the caller's key space, so no self-exclusion (an in-corpus
+        # id collision would wrongly drop a true neighbor)
+        exclude_self = False
     else:
         if not query_ids:
             raise ValueError("need query_ids or query_vectors")
         q_rows = idx.filter(F.col("id").isin(query_ids)).select("id", "v", "bucket").collect()
-        if not q_rows:
-            raise ValueError(f"none of {query_ids} present in index {index_path}")
+        missing = set(query_ids) - {r["id"] for r in q_rows}
+        if missing:
+            raise ValueError(
+                f"query ids {sorted(missing)} not present in index {index_path} "
+                "(pass query_vectors for external queries)"
+            )
         q_tuples = [(r["id"], r["v"], r["bucket"]) for r in q_rows]
+        exclude_self = True
     buckets = sorted({b for _, _, b in q_tuples})
     q = spark.createDataFrame(
         q_tuples, "query_id long, qv array<double>, bucket string"
     )
     cand = idx.filter(F.col("bucket").isin(buckets))  # partition-pruned
-    scored = cand.join(F.broadcast(q), "bucket").filter(F.col("id") != F.col("query_id")).select(
+    return _bucket_join_topk(cand, q, k, exclude_self=exclude_self)
+
+
+def _bucket_join_topk(cand: DataFrame, q: DataFrame, k: int, exclude_self: bool = True) -> DataFrame:
+    """Shared scoring tail of the bucketed ANN paths: broadcast the
+    queries into their buckets, exact cosine, window top-k (single
+    definition so rounding/tie-break semantics can't diverge)."""
+    scored = cand.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col("id") != F.col("query_id"))
+    scored = scored.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
         F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias("cosine"),
@@ -191,10 +223,4 @@ def lsh_ann_topk(
     q = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
     )
-    scored = base.join(F.broadcast(q), "bucket").filter(F.col("id") != F.col("query_id")).select(
-        "query_id",
-        F.col("id").alias("neighbor_id"),
-        F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _bucket_join_topk(base, q, k, exclude_self=True)

@@ -174,6 +174,49 @@ def test_lsh_index_matches_adhoc_and_prunes_partitions(spark, tmp_path):
         .toString()
     )
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+    # the 'b' prefix keeps bucket a STRING through partition-column type
+    # inference (all-digit values would read back as ints, 0110 -> 110)
+    assert dict(idx.dtypes)["bucket"] == "string"
+    assert all(b.startswith("b") for b in buckets)
+
+
+def test_lsh_index_external_query_vectors(spark, tmp_path):
+    """External query vectors: driver-side bucket computation matches the
+    Spark-side signature bit-for-bit, results match the id-lookup path
+    (modulo self-exclusion), and identical-id corpus rows are NOT
+    wrongly dropped."""
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_column,
+        lsh_index_topk,
+        py_bucket_of,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    planes = _hyperplanes(64, 4, 42)
+    sample = emb.limit(20).select(
+        "vec_id", "embedding", lsh_bucket_column(F.col("embedding"), planes).alias("b")
+    ).collect()
+    for r in sample:
+        assert py_bucket_of(list(r["embedding"]), planes) == r["b"], "bucket twin desync"
+
+    path = str(tmp_path / "idx")
+    write_lsh_index(emb, path, n_planes=4)
+    qvecs = [(r["vec_id"], list(r["embedding"])) for r in sample if r["vec_id"] in (0, 1)]
+    res = lsh_index_topk(spark, path, k=5, query_vectors=qvecs)
+    rows = res.collect()
+    # the identical corpus vector (same id) must appear as the top hit
+    # for an external query — no self-exclusion in the external path
+    top = {r["query_id"]: (r["neighbor_id"], r["cosine"]) for r in rows if r["rank"] == 1}
+    assert top[0] == (0, 1.0) and top[1] == (1, 1.0)
+    # partially-missing id lookups fail loudly instead of silently
+    import pytest
+
+    with pytest.raises(ValueError, match="not present"):
+        lsh_index_topk(spark, path, [0, 99999999], k=5)
 
 
 def test_xml_fast_and_slow_paths_render_identically(spark):

@@ -72,14 +72,13 @@ def main(n: int) -> None:
     t0 = time.time()
     write_lsh_index(emb, idx_path, n_planes=8)
     index_build_sec = time.time() - t0
-    qvecs = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id").isin(queries)).collect()
-    ]
+    # queries are corpus members here, so the id-lookup path applies
+    # (self-excluded, comparable to the exact baseline); external query
+    # vectors would use query_vectors= and keep identical corpus rows
     t0 = time.time()
     indexed = {
         (r["query_id"], r["neighbor_id"])
-        for r in lsh_index_topk(spark, idx_path, k=k, query_vectors=qvecs).collect()
+        for r in lsh_index_topk(spark, idx_path, queries, k=k).collect()
     }
     index_query_sec = time.time() - t0
 

@@ -57,12 +57,20 @@ def main(n_docs: int) -> None:
 
     t0 = time.time()
     pairs = minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=4)
-    found_planted = (
-        pairs.filter(
-            (F.col("id_b") == F.col("id_a") + 1) & (F.pmod(F.col("id_a"), F.lit(2)) == 0)
-        ).count()
-    )
-    n_pairs = pairs.count()
+    # ONE action for both counts — a second count() would re-run the
+    # whole uncached pipeline and double the reported wall time
+    agg = pairs.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(
+                (F.col("id_b") == F.col("id_a") + 1)
+                & (F.pmod(F.col("id_a"), F.lit(2)) == 0),
+                1,
+            ).otherwise(0)
+        ).alias("planted"),
+    ).first()
+    found_planted = int(agg["planted"] or 0)
+    n_pairs = agg["total"]
     dt = time.time() - t0
     planted = n_docs // 2
     print(
