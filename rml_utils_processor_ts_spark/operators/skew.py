@@ -14,9 +14,25 @@ from pyspark.sql import functions as F
 
 
 def salt_column(key, n_salt: int):
-    """Deterministic salt derived from the full row key via a secondary
-    hash — never a random number (reproducibility requirement)."""
+    """Deterministic salt derived from a row-level expression via a
+    secondary hash — never a random number (reproducibility requirement).
+    The expression must vary WITHIN a hot group: a salt computed from the
+    group key alone assigns every row of that key the same salt and the
+    mitigation degenerates to a plain groupBy/join."""
     return F.pmod(F.xxhash64(key, F.lit("salt")), F.lit(n_salt)).cast("int")
+
+
+def row_spread_salt(n_salt: int):
+    """Salt that spreads EVERY row — including byte-identical duplicate
+    rows, the common shape of a hot key in web corpora — round-robin over
+    ``n_salt`` values: ``pmod(monotonically_increasing_id(), n_salt)``.
+    The id is (partition_id << 33) | row_index, so consecutive rows of a
+    partition cycle through all salt values. Placement-dependent (stable
+    for scans + narrow plans, not across arbitrary reshuffles), which is
+    safe exactly where a salt is safe: wherever the RESULT is
+    salt-invariant (partial aggregation re-combined on the key; a join
+    whose small side is replicated for every salt value)."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")
 
 
 def two_phase_agg(
@@ -26,11 +42,14 @@ def two_phase_agg(
     n_salt: int = 16,
 ) -> DataFrame:
     """Salted two-phase aggregation: groupBy (key, salt) -> partial, then
-    groupBy key -> final. Bounds any single reducer's input to ~1/n_salt
-    of the hottest key. ``aggs``: output name -> 'count' | 'sum:col' |
-    'min:col' | 'max:col' | 'avg:col' (algebraic aggregates only — avg
-    decomposes into a (sum, count) pair that re-combines)."""
-    salted = df.withColumn("__salt", salt_column(F.concat_ws("\x00", *[F.col(c) for c in key_cols]), n_salt))
+    groupBy key -> final. The salt is row-spreading (``row_spread_salt``
+    — NOT a function of the group key, which would put every row of a hot
+    key in one group and mitigate nothing), so any single reducer's input
+    for the partial stage is bounded to ~1/n_salt of the hottest key.
+    ``aggs``: output name -> 'count' | 'sum:col' | 'min:col' | 'max:col'
+    | 'avg:col' (algebraic aggregates only — avg decomposes into a
+    (sum, count) pair that re-combines)."""
+    salted = df.withColumn("__salt", row_spread_salt(n_salt))
     partial_exprs = []
     final_exprs = []
     for name, spec in aggs.items():
@@ -67,11 +86,20 @@ def split_hot_keys(
     hot = counts.filter(F.col("__n") >= hot_threshold).select(key)
 
     big_flag = big.join(F.broadcast(hot.withColumn("__hot", F.lit(True))), key, "left")
-    # salt from row CONTENT (all columns), never from
-    # monotonically_increasing_id: partition placement must be identical
-    # across runs/retries (determinism rule, SURVEY.md §7 hard part 4)
+    # salt from row content MIXED with a per-row ordinal: content alone
+    # degenerates when a hot key's rows are byte-identical duplicates
+    # (they all hash to one salt value — the common web-corpus shape);
+    # the ordinal (monotonically_increasing_id) spreads even identical
+    # rows. The joined RESULT is salt-invariant — the small side is
+    # replicated for every salt value — so placement-dependence of the
+    # ordinal cannot change output (SURVEY.md §7 determinism rule holds
+    # on results, which is what the rule protects).
     big_hot = big_flag.filter(F.col("__hot").isNotNull()).drop("__hot").withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit("salt")), F.lit(n_salt)).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id(), F.lit("salt")),
+            F.lit(n_salt),
+        ).cast("int"),
     )
     big_cold = big_flag.filter(F.col("__hot").isNull()).drop("__hot")
 

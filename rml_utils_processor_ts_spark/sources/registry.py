@@ -280,14 +280,21 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
 
     XML fast path: depth-1 ``//tag`` iterators compile to builtin
     ``from_xml`` + ``explode`` (JVM, whole-stage codegen, ~10-50x the
-    Arrow path). Self-nesting detection: every fragment consumes >= 1
-    iterator-tag opener, so MORE openers than fragments means a fragment
-    swallowed a nested opener (the fragment regex closes at the first
-    end tag and mis-splits such documents) — those documents route
-    through the Python tree-walking path, the rest explode the fragment
-    array. The opener count is one cheap extra regex; per-fragment regex
-    probes measured 5x slower on the pages pipeline and are avoided.
-    Both branches union to one frame; passthrough survives all paths."""
+    Arrow path). Self-nesting detection: the fragment regex closes at
+    the FIRST ``</tag>``, so a nested iterator tag is — by nesting —
+    always swallowed into its enclosing fragment (every inner opener
+    sits between the outer opener and the first close). A document is
+    therefore nested iff some extracted fragment contains a second
+    ``<tag`` opener past position 1, probed with a plain substring
+    ``locate`` over the fragments (NO second regex pass over the full
+    payload — r02's opener-count regex cost +84% on pages_pipeline; and
+    no ``rlike`` in the lambda — per-fragment regex probes measured 5x
+    slower in r01). The prefix probe is conservative: a tag whose name
+    extends the iterator tag (``<tagged>``) false-positives into the
+    Python tree-walking path, which is slower but always correct.
+    Nested documents route to the tree walker; the rest explode the
+    fragment array. Both branches union to one frame; passthrough
+    survives all paths."""
     if ls.kind == "xpath" and os.environ.get("RML_XML_FAST_PATH", "1") != "0":
         plan = _xml_fast_path_plan(ls.iterator or "", refs)
         if plan is not None:
@@ -296,13 +303,25 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
             with_frags = df.withColumn(
                 "__frags", F.regexp_extract_all(F.col(payload_col), F.lit(frag_pat), F.lit(0))
             )
-            if os.environ.get("RML_XML_NESTED_DETECT", "1") != "0":
-                # one cheap extra regex count; opt out for corpora known
-                # flat (RML_XML_NESTED_DETECT=0) to save the scan
-                n_open = F.size(
-                    F.regexp_extract_all(F.col(payload_col), F.lit(rf"<{tag}[\s/>]"), F.lit(0))
+            detect = os.environ.get("RML_XML_NESTED_DETECT", "1")
+            opener = "<" + tag
+            if detect == "count":
+                # alternative detector: literal opener count via
+                # replace+length vs fragment count (kept for A/B —
+                # measured slower than the probe: the replace allocates
+                # the full rewritten payload per row)
+                n_opener_chars = F.length(payload_col) - F.length(
+                    F.replace(F.col(payload_col), F.lit(opener), F.lit(""))
                 )
-                nested = F.coalesce(n_open > F.size(F.col("__frags")), F.lit(False))
+                nested = F.coalesce(
+                    n_opener_chars > F.size("__frags") * len(opener), F.lit(False)
+                )
+            elif detect != "0":
+                # default: substring probe over the already-extracted
+                # fragments; opt out for corpora known flat (=0)
+                nested = F.coalesce(
+                    F.exists("__frags", lambda f: F.locate(opener, f, 2) > 0), F.lit(False)
+                )
             else:
                 nested = F.lit(False)
             fast = _xml_fast_records_from_frags(
