@@ -458,14 +458,65 @@ def q_incrml_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path; rows-only — bucket boundaries aren't
-    SQL-expressible, recall vs the exact query is asserted in tests)."""
+    """LSH-bucketed ANN (scale path). Fully value-gated: the oracle
+    inlines the deterministic hyperplanes as DOUBLE[] literals and
+    reproduces bucketing + per-bucket cosine top-k in SQL (see
+    _ANN_LSH_SQL); recall vs the exact query is additionally asserted
+    in tests."""
     from rml_utils_processor_ts_spark.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_planes=6)
+
+
+def q_kafka_records_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 oracle gate (r02 verdict "Next round" #3): the Kafka
+    value->records transform on a static Kafka-shaped frame — binary
+    ``value`` plus topic/partition/offset, exactly the schema
+    ``readStream.format('kafka')`` yields. The sandbox has no broker or
+    connector jar, so the frame is built deterministically from
+    nation.parquet: one message per region whose value is a JSON array
+    of {key,name} records (array_sort keeps message payloads
+    order-stable). ``kafka_records_df`` then runs each message through
+    the same iterator-explode stage (here the JVM from_json fast path)
+    that every other logical source uses — a wiring regression anywhere
+    in that path now fails rows/schema/hash."""
+    from rml_utils_processor_ts_spark.plans.model import LogicalSource
+    from rml_utils_processor_ts_spark.sources.registry import kafka_records_df, ref_column_name
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    msgs = (
+        nation.groupBy(F.col("n_regionkey").cast("int").alias("part_id"))
+        .agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("n_nationkey").cast("long").alias("key"),
+                            F.col("n_name").alias("name"),
+                        )
+                    )
+                )
+            ).alias("payload")
+        )
+        .select(
+            F.lit("nations").alias("topic"),
+            "part_id",
+            F.col("part_id").cast("long").alias("msg_offset"),
+            F.encode("payload", "UTF-8").alias("value"),
+        )
+    )
+    ls = LogicalSource(source="kafka://broker:9092/nations", kind="kafka", iterator="$.[*]")
+    recs = kafka_records_df(msgs, ls, ["key", "name"], passthrough=["topic", "part_id", "msg_offset"])
+    return recs.select(
+        "topic",
+        "part_id",
+        "msg_offset",
+        F.col(ref_column_name("key")).alias("rec_key"),
+        F.col(ref_column_name("name")).alias("rec_name"),
+    )
 
 
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,6 +636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "entity_link_fuzzy": q_entity_link_fuzzy,
     "skew_salted_agg": q_skew_salted_agg,
+    "kafka_records_extract": q_kafka_records_extract,
     "simhash": q_simhash,
     "multimodal_features": q_multimodal_features,
     "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -1094,6 +1146,14 @@ def oracle_sql() -> dict[str, str]:
         "nquads_lines": _NQUADS_SQL,
         "ntriples_lines": _NTRIPLES_SQL,
         "turtle_lines": _TURTLE_SQL,
+        "kafka_records_extract": """
+            SELECT 'nations' AS topic,
+                   CAST(n_regionkey AS INTEGER) AS part_id,
+                   CAST(n_regionkey AS BIGINT) AS msg_offset,
+                   CAST(n_nationkey AS VARCHAR) AS rec_key,
+                   n_name AS rec_name
+            FROM nation
+        """,
         "cdc_diff": """
             WITH state AS (
               SELECT CAST(o_orderkey AS VARCHAR) AS iri, md5(o_orderstatus) AS h

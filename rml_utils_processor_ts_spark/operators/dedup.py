@@ -302,17 +302,25 @@ def embedding_neardup_pairs_lsh(
 
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Given near-dup pairs, keep one representative per duplicate cluster
-    (min id wins; transitive closure via connected components)."""
+    (min id wins; transitive closure via connected components). The min
+    is taken in the id column's own type: numeric ids compare
+    numerically (2 < 10), everything else lexicographically — string ids
+    are first-class, not nulled by a numeric cast (r02 verdict's
+    correctness-debt item)."""
+    from pyspark.sql import types as T
+
     from .cc import connected_components
 
     edges = pairs.select(
         F.col("id_a").cast("string").alias("src"), F.col("id_b").cast("string").alias("dst")
     )
     comps = connected_components(edges)
-    keep = comps.groupBy("component").agg(F.min(F.col("node").cast("long")).alias("keep_id"))
+    numeric = isinstance(df.schema[id_col].dataType, T.NumericType)
+    node_key = F.col("node").cast("long") if numeric else F.col("node")
+    keep = comps.groupBy("component").agg(F.min(node_key).alias("keep_id"))
     drop = (
         comps.join(keep, "component")
-        .filter(F.col("node").cast("long") != F.col("keep_id"))
-        .select(F.col("node").cast("long").alias("drop_id"))
+        .filter(node_key != F.col("keep_id"))
+        .select(node_key.alias("drop_id"))
     )
     return df.join(drop, df[id_col] == F.col("drop_id"), "left_anti")

@@ -60,6 +60,28 @@ def test_dedup_exact_and_keep_canonical(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1, 4}
 
 
+def test_keep_canonical_string_ids(spark):
+    """String doc ids are first-class (r02 verdict correctness debt:
+    the old cast('long') nulled them and dropped nothing). Min is
+    lexicographic for strings, numeric for numeric ids."""
+    from rml_utils_processor_ts_spark.operators.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [("doc-b", "x"), ("doc-a", "x"), ("doc-c", "y"), ("doc-z", "z")],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-a", "doc-c")], "id_a string, id_b string"
+    )
+    kept = {r["doc_id"] for r in keep_canonical(docs, pairs).collect()}
+    assert kept == {"doc-a", "doc-z"}
+
+    # numeric ids still compare numerically: 2 < 10 even though "10" < "2"
+    ndocs = spark.createDataFrame([(2, "x"), (10, "x")], "doc_id long, text string")
+    npairs = spark.createDataFrame([(2, 10)], "id_a long, id_b long")
+    assert {r["doc_id"] for r in keep_canonical(ndocs, npairs).collect()} == {2}
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     from rml_utils_processor_ts_spark.operators.dedup import minhash_dedup_pairs
 
