@@ -195,11 +195,16 @@ def execute_stateful_tm(
         if watched_tm is not None
         else F.lit("")
     )
-    publisher = (
-        resolve(executor.publisher_ref)
-        if executor.publisher_ref is not None
-        else F.lit("")
-    )
+    if executor.publisher_ref is not None:
+        # record-reference form: the id is reachable through the iterator
+        publisher = resolve(executor.publisher_ref)
+    elif "__publisher_doc" in records.columns:
+        # raw-document regex form (A7 exact parity): regexp_extract over
+        # the payload BEFORE iteration, stamped as a passthrough column
+        # (reference: incRMLStateIndex, rml.ts:322-324)
+        publisher = F.col("__publisher_doc")
+    else:
+        publisher = F.lit("")
 
     base = (
         records.withColumn("__s", subject)

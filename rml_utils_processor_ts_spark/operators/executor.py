@@ -109,6 +109,7 @@ class PlanExecutor:
         *,
         state_store=None,
         publisher_ref: str | None = None,
+        publisher_regex: str | None = None,
         version_ts: str | None = None,
         passthrough: tuple[str, ...] = ("url", "warc_ts"),
         dedupe: bool = True,
@@ -117,6 +118,12 @@ class PlanExecutor:
         self.spark = spark
         self.state_store = state_store
         self.publisher_ref = publisher_ref
+        # A7 exact-form alternative to publisher_ref: a regex applied to
+        # the RAW document payload before iteration (the reference's
+        # incRMLStateIndex, /root/reference/src/rml/rml.ts:322-324; test
+        # regex source_id="([^"]+)" at test/processors.test.ts:62) — for
+        # publisher ids living OUTSIDE the iterated records. Group 1.
+        self.publisher_regex = publisher_regex
         self.version_ts = version_ts
         self.passthrough = passthrough
         self.dedupe = dedupe
@@ -166,7 +173,18 @@ class PlanExecutor:
         all_refs = set(refs) | getattr(self, "_source_refs", {}).get(ls.key(), set())
         key = (ls.key(), tuple(sorted(all_refs)))
         if key not in self._scan_cache:
-            self._scan_cache[key] = records_df(self.spark, ls, sorted(all_refs), list(self.passthrough))
+            # only document-shaped sources carry a raw payload to regex
+            # over; relational/CSV sources in the same plan are skipped
+            # (they key state via publisher_ref record references)
+            doc_shaped = ls.kind not in ("table", "csv") and not ls.source.startswith("table:")
+            derived = (
+                {"__publisher_doc": (self.publisher_regex, 1)}
+                if self.publisher_regex is not None and doc_shaped
+                else None
+            )
+            self._scan_cache[key] = records_df(
+                self.spark, ls, sorted(all_refs), list(self.passthrough), doc_derived=derived
+            )
         return self._scan_cache[key]
 
     # -- execution ---------------------------------------------------------

@@ -346,15 +346,33 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
     return _python_iterate_records(df, payload_col, ls.kind, ls.iterator, refs, passthrough)
 
 
+def _apply_doc_derived(
+    df: DataFrame, payload_col: str, doc_derived, passthrough: list[str]
+) -> tuple[DataFrame, list[str]]:
+    """Stamp regex-derived columns onto the RAW document before
+    iteration (A7 exact form: the reference extracts the publisher id by
+    regex over the raw snapshot text, /root/reference/src/rml/rml.ts:322-324
+    — NOT through the record iterator). Derived columns become
+    passthrough columns on every record of that document."""
+    if not doc_derived:
+        return df, passthrough
+    for name, (pattern, group) in doc_derived.items():
+        df = df.withColumn(name, F.regexp_extract(F.col(payload_col), pattern, group))
+    return df, passthrough + [n for n in doc_derived if n not in passthrough]
+
+
 def records_df(
     spark: SparkSession,
     ls: LogicalSource,
     refs: list[str],
     passthrough: list[str] | None = None,
+    doc_derived: dict[str, tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Load a logical source and produce its record DataFrame with one
     string column per reference (named ``ref_<md5>``), plus passthrough
-    metadata columns when the source is a page table."""
+    metadata columns when the source is a page table. ``doc_derived``
+    maps extra column names to ``(regex, group)`` extracted from the raw
+    document payload before iteration (document-shaped sources only)."""
     passthrough = passthrough or []
     src = ls.source
     if src.startswith("memory:"):
@@ -363,10 +381,17 @@ def records_df(
         # file-backed document source
         df = get_memory_source(src[len("memory:"):])
         keep = [c for c in passthrough if c in df.columns]
+        df, keep = _apply_doc_derived(df, "doc", doc_derived, keep)
         return _iterate_docs_df(df, "doc", ls, refs, keep)
     if src.startswith("kafka://") or ls.kind == "kafka":
         stream = kafka_stream_df(spark, ls)
-        return kafka_records_df(stream, ls, refs, passthrough)
+        return kafka_records_df(stream, ls, refs, passthrough, doc_derived)
+    if doc_derived and (src.startswith("table:") or ls.kind in ("table", "csv")):
+        raise ValueError(
+            f"doc_derived (publisher regex) needs a raw document payload; "
+            f"source {src!r} of kind {ls.kind!r} has none — use a record "
+            "reference (publisher_ref) for relational/CSV sources"
+        )
     if src.startswith("table:") or ls.kind == "table":
         path = src[len("table:"):] if src.startswith("table:") else src
         df = spark.read.parquet(path)
@@ -387,7 +412,9 @@ def records_df(
             inner.kind = "jsonpath"
         elif inner.kind == "pages":
             inner.kind = "xpath"
-        return _iterate_docs_df(pages.select(*keep, ls.payload_column), ls.payload_column, inner, refs, keep)
+        docs = pages.select(*keep, ls.payload_column)
+        docs, keep = _apply_doc_derived(docs, ls.payload_column, doc_derived, keep)
+        return _iterate_docs_df(docs, ls.payload_column, inner, refs, keep)
     if ls.kind == "csv":
         if src.startswith("inline:"):
             import io
@@ -413,7 +440,8 @@ def records_df(
             docs = spark.createDataFrame([(fetch_http_source(src),)], "doc string")
         else:
             docs = spark.read.text(src, wholetext=True).withColumnRenamed("value", "doc")
-        return _iterate_docs_df(docs, "doc", ls, refs, [])
+        docs, derived = _apply_doc_derived(docs, "doc", doc_derived, [])
+        return _iterate_docs_df(docs, "doc", ls, refs, derived)
     raise ValueError(f"unsupported logical source kind {ls.kind!r} for {src!r}")
 
 
@@ -463,7 +491,11 @@ def kafka_stream_df(spark: SparkSession, ls: LogicalSource) -> DataFrame:
 
 
 def kafka_records_df(
-    kafka_df: DataFrame, ls: LogicalSource, refs: list[str], passthrough: list[str] | None = None
+    kafka_df: DataFrame,
+    ls: LogicalSource,
+    refs: list[str],
+    passthrough: list[str] | None = None,
+    doc_derived: dict[str, tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Kafka-shaped frame (binary ``value`` + topic/partition/offset/
     timestamp) -> record rows: each message value is one document run
@@ -472,6 +504,7 @@ def kafka_records_df(
     (how tests exercise the transformation without a broker)."""
     keep = [c for c in (passthrough or []) if c in kafka_df.columns]
     docs = kafka_df.select(*keep, F.col("value").cast("string").alias("doc"))
+    docs, keep = _apply_doc_derived(docs, "doc", doc_derived, keep)
     payload_kind = ls.kind
     if payload_kind in ("kafka", "pages"):
         payload_kind = "jsonpath" if (ls.iterator or "$").startswith("$") else "xpath"

@@ -23,7 +23,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-import os
 
 from ..operators.cdc import StateStore
 from ..operators.executor import ExecutionResult, PlanExecutor
@@ -47,6 +46,7 @@ class MicroBatchMappingRunner:
     mapping_text: str
     state_root: str | None = None
     publisher_ref: str | None = None
+    publisher_regex: str | None = None
     results: list[ExecutionResult] = field(default_factory=list)
 
     def __post_init__(self):
@@ -56,15 +56,38 @@ class MicroBatchMappingRunner:
         )
         self._key = f"mb_{id(self)}"
 
-    def _marker_path(self) -> str | None:
-        return os.path.join(self.state_root, "_last_batch_id") if self.state_root else None
+    # -- batch markers, through the Hadoop filesystem of state_root --------
+    # The replay guard must live on the SAME filesystem as the state data:
+    # a driver-local marker next to a shared/remote state_root (or after a
+    # driver restart on another node) silently disappears and a replayed
+    # batch re-executes against already-updated state (r02 ADVICE). One
+    # empty sentinel file per committed batch id — created, never renamed
+    # or deleted, so a crash can only lose the NEWEST marker (at-least-
+    # once, same guarantee as before), never the history.
+
+    def _hadoop_fs(self):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.state_root, "_batch_markers")
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jvm, path
 
     def _last_committed_batch(self) -> int:
-        p = self._marker_path()
-        if p and os.path.exists(p):
-            with open(p) as fh:
-                return int(fh.read().strip())
-        return -1
+        if not self.state_root:
+            return -1
+        fs, _, d = self._hadoop_fs()
+        if not fs.exists(d):
+            return -1
+        last = -1
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith("batch_"):
+                last = max(last, int(name[len("batch_"):]))
+        return last
+
+    def _write_marker(self, batch_id: int) -> None:
+        fs, jvm, d = self._hadoop_fs()
+        p = jvm.org.apache.hadoop.fs.Path(d, f"batch_{batch_id}")
+        fs.create(p, True).close()
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> ExecutionResult | None:
         """The foreachBatch body — also callable directly with any static
@@ -87,7 +110,10 @@ class MicroBatchMappingRunner:
             for tm in bound.triples_maps:
                 tm.logical_source.source = f"memory:{self._key}"
             ex = PlanExecutor(
-                self.spark, state_store=self._store, publisher_ref=self.publisher_ref
+                self.spark,
+                state_store=self._store,
+                publisher_ref=self.publisher_ref,
+                publisher_regex=self.publisher_regex,
             )
             result = ex.execute(bound)
             from .snapshots import _materialize_triples
@@ -103,12 +129,7 @@ class MicroBatchMappingRunner:
             unregister_memory_source(self._key)
         if self._store is not None:
             self._store.commit_all(result.state_updates)
-            marker = self._marker_path()
-            if marker:
-                tmp = marker + ".tmp"
-                with open(tmp, "w") as fh:
-                    fh.write(str(batch_id))
-                os.replace(tmp, marker)
+            self._write_marker(batch_id)
         self.results.append(result)
         return result
 

@@ -35,6 +35,7 @@ class SnapshotRunner:
     spark: SparkSession
     state_root: str | None = None
     publisher_ref: str | None = None
+    publisher_regex: str | None = None
     # A6 trigger semantics (/root/reference/src/rml/rml.ts:416-424):
     # sources listed here get their data invalidated after every run —
     # each new snapshot re-executes the mapping; other sources behave as
@@ -100,7 +101,10 @@ class SnapshotRunner:
                 source_bindings=bindings,
             )
             ex = PlanExecutor(
-                self.spark, state_store=store, publisher_ref=self.publisher_ref
+                self.spark,
+                state_store=store,
+                publisher_ref=self.publisher_ref,
+                publisher_regex=self.publisher_regex,
             )
             result = ex.execute(bound)
             # Materialize before the state commit: the run's output must

@@ -14,12 +14,14 @@ LIFECYCLE = EX + "lifeCycleType"
 AS = "https://www.w3.org/ns/activitystreams#"
 
 
-def run_snapshot(spark, store, doc, publisher_ref=None):
+def run_snapshot(spark, store, doc, publisher_ref=None, publisher_regex=None):
     plan = parse_mapping(
         RML_STATEFUL.format(source="dataset/data.xml"),
         {"dataset/data.xml": "inline:" + doc},
     )
-    ex = PlanExecutor(spark, state_store=store, publisher_ref=publisher_ref)
+    ex = PlanExecutor(
+        spark, state_store=store, publisher_ref=publisher_ref, publisher_regex=publisher_regex
+    )
     result = ex.execute(plan)
     rows = result.triples.collect()
     store.commit_all(result.state_updates)
@@ -186,3 +188,33 @@ def test_per_publisher_state_isolation(spark, store):
     rows2, ev2 = run_snapshot(spark, store, doc_p2, publisher_ref="@source_id")
     assert ev2.get("Create") == {EX + "900"}
     assert "Delete" not in ev2, "cross-publisher false delete"
+
+
+def test_publisher_regex_over_raw_document(spark, store):
+    """A7 exact form (r02 verdict "Next round" #5): the publisher id is
+    extracted by regex over the RAW snapshot text — it lives on the root
+    element, OUTSIDE the //data records the iterator reaches — replaying
+    the reference's incRMLStateIndex scenario (rml.ts:322-324, regex
+    source_id="([^"]+)" at test/processors.test.ts:62). Each publisher's
+    state is isolated: a shared entity id is Created per publisher, a
+    publisher's absence never deletes another's entities, and deletes
+    stay within the publisher whose snapshot shrank."""
+    regex = 'source_id="([^"]+)"'
+    p1_v1 = '<resource source_id="pubA"><data id="001" label="a"></data><data id="002" label="b"></data></resource>'
+    p2_v1 = '<resource source_id="pubB"><data id="001" label="a"></data></resource>'
+    p1_v2 = '<resource source_id="pubA"><data id="001" label="a"></data></resource>'
+
+    _, ev1 = run_snapshot(spark, store, p1_v1, publisher_regex=regex)
+    assert ev1.get("Create") == {EX + "001", EX + "002"}
+
+    # pubB's FIRST snapshot: Create for 001 even though pubA already
+    # registered it (state keys are (iri, publisher)), and NO delete of
+    # pubA's 002 (pubA is absent from this snapshot)
+    _, ev2 = run_snapshot(spark, store, p2_v1, publisher_regex=regex)
+    assert ev2.get("Create") == {EX + "001"}
+    assert "Delete" not in ev2, "cross-publisher false delete"
+
+    # pubA drops 002 -> exactly one Delete, scoped to pubA
+    _, ev3 = run_snapshot(spark, store, p1_v2, publisher_regex=regex)
+    assert ev3.get("Delete") == {EX + "002"}
+    assert "Create" not in ev3
