@@ -104,6 +104,10 @@ class PredicateObjectMap:
     object: TermMap | None = None
     parent_triples_map: str | None = None  # referencing object map (rr:parentTriplesMap)
     join_conditions: list[JoinCondition] = field(default_factory=list)
+    # YARRRML ``inversepredicates`` (front-end only): resolved by the
+    # yarrrml compiler into swapped TriplesMaps / referencing POMs before
+    # the plan is returned — never reaches the executor or plan_hash.
+    inverse_predicate: TermMap | None = None
 
 
 @dataclass

@@ -9,17 +9,24 @@ Supported YARRRML surface (yarrrml.test.ts:8-22 + spec basics):
     form {access, referenceFormulation, iterator}; formulations xpath /
     jsonpath / csv (+ our table/pages extensions);
   * ``s``/``subject`` templates with ``$(ref)`` and prefixed names;
+    function-valued subjects ``s: {function: ..., parameters: ...}``;
   * ``po`` pairs ``[predicate, object]`` (object ``$(ref)``, template,
     constant, or ``[value, datatype]``), ``a`` for rdf:type;
   * ``graph``/``graphs`` on a mapping;
   * po objects referencing other mappings: {mapping: X, condition:
     {function: equal, parameters: [[str1, $(c)], [str2, $(p)]]}}
-    -> referencing object map with join condition.
+    -> referencing object map with join condition;
+  * document-level ``sources:`` sections referenced by name from
+    mappings; mapping-level ``condition:`` blocks (compiled into the
+    subject as trueCondition, like the IncRML conditional-subject
+    embedding); ``inversepredicates`` on po entries (both plain and
+    mapping-reference objects).
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import replace
 
 import yaml
 
@@ -215,12 +222,20 @@ def _conditional_object(obj: TermMap, cond_spec: dict, prefixes: dict[str, str],
 
 def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
     condition = None
+    inverse_pred = None
     if isinstance(entry, dict):
         preds = entry.get("p") or entry.get("predicate") or entry.get("predicates")
         objs = entry.get("o") or entry.get("object") or entry.get("objects")
         pred_val = preds[0] if isinstance(preds, list) else preds
         obj_val = objs[0] if isinstance(objs, list) else objs
         condition = entry.get("condition")
+        inv_val = entry.get("inversepredicates") or entry.get("inversepredicate")
+        if inv_val is not None:
+            if isinstance(inv_val, list):
+                inv_val = inv_val[0]
+            inverse_pred = TermMap(
+                constant=_expand_prefixed(str(inv_val), prefixes), constant_is_iri=True
+            )
     elif isinstance(entry, list) and len(entry) >= 2:
         pred_val, obj_val = entry[0], entry[1]
         if len(entry) == 3:
@@ -254,6 +269,7 @@ def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
             object=None,
             parent_triples_map=f"urn:yarrrml:{obj_val['mapping']}",
             join_conditions=joins,
+            inverse_predicate=inverse_pred,
         )
 
     datatype = None
@@ -278,7 +294,7 @@ def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
         obj.term_type = "IRI"
     if isinstance(condition, dict):
         obj = _conditional_object(obj, condition, prefixes, name)
-    return PredicateObjectMap(predicate=pred, object=obj)
+    return PredicateObjectMap(predicate=pred, object=obj, inverse_predicate=inverse_pred)
 
 
 def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> MappingPlan:
@@ -295,28 +311,63 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
         for tid, spec in (data.get("targets") or {}).items()
     }
 
+    # document-level sources section: named entries a mapping references
+    # by name (``sources: src1`` / ``sources: [src1, ...]``), per the
+    # yarrrml spec surface the @rmlio parser accepts
+    doc_sources = data.get("sources") if isinstance(data.get("sources"), dict) else {}
+
     tms: list[TriplesMap] = []
     by_map_name: dict[str, list[str]] = {}
+    base_name_of: dict[str, str] = {}
     for name, m in mappings.items():
         sources = m.get("sources") or m.get("source")
         if not sources:
             raise YarrrmlError(f"mapping {name}: no sources")
         if not isinstance(sources, list):
             sources = [sources]
+        resolved = []
+        for s in sources:
+            if isinstance(s, str):
+                if s in doc_sources:
+                    resolved.append(doc_sources[s])
+                elif doc_sources and "~" not in s:
+                    raise YarrrmlError(f"mapping {name}: unknown named source {s!r}")
+                else:
+                    resolved.append(s)
+            else:
+                resolved.append(s)
+        sources = resolved
 
         subj_val = m.get("s") or m.get("subject") or m.get("subjects")
         if subj_val is None:
             raise YarrrmlError(f"mapping {name}: no subject")
-        subj_targets: list[str] = []
-        if isinstance(subj_val, dict):
-            # subject with targets: {value: ..., targets: [t1]}
-            raw_targets = subj_val.get("targets") or []
-            subj_targets = [raw_targets] if isinstance(raw_targets, str) else list(raw_targets)
-            subj_val = subj_val.get("value")
-            if subj_val is None:
-                raise YarrrmlError(f"mapping {name}: subject dict without value")
         if isinstance(subj_val, list):
             subj_val = subj_val[0]
+        subj_targets: list[str] = []
+        subj_fn_spec = None
+        if isinstance(subj_val, dict):
+            # subject with targets: {value: ..., targets: [t1]} — or a
+            # function-valued subject {function: ..., parameters: ...}
+            raw_targets = subj_val.get("targets") or []
+            subj_targets = [raw_targets] if isinstance(raw_targets, str) else list(raw_targets)
+            if "function" in subj_val or "fn" in subj_val:
+                subj_fn_spec = subj_val
+            else:
+                subj_val = subj_val.get("value")
+                if subj_val is None:
+                    raise YarrrmlError(f"mapping {name}: subject dict without value or function")
+        subj_tm = (
+            TermMap(function=_to_function(subj_fn_spec, prefixes, name))
+            if subj_fn_spec is not None
+            else _to_template(str(subj_val), prefixes)
+        )
+        # mapping-level condition: the whole mapping emits only for
+        # records satisfying it — embedded into the subject exactly as
+        # the IncRML rewriter embeds conditional subjects
+        # (trueCondition(strBoolean=<cond>, str=<subject>), incrml.ts:391-412)
+        map_cond = m.get("condition")
+        if isinstance(map_cond, dict):
+            subj_tm = _conditional_object(subj_tm, map_cond, prefixes, name)
         tm_targets: list = []
         for tid in subj_targets:
             if tid not in targets:
@@ -349,7 +400,7 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
                         name=tm_name,
                         logical_source=ls,
                         subject_map=SubjectMap(
-                            term_map=_to_template(str(subj_val), prefixes),
+                            term_map=subj_tm,
                             graph_map=_to_template(str(graph_val), prefixes) if graph_val is not None else None,
                             logical_target=logical_target,
                         ),
@@ -358,6 +409,57 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
                     )
                 )
                 by_map_name.setdefault(f"urn:yarrrml:{name}", []).append(tm_name)
+                base_name_of[tm_name] = f"urn:yarrrml:{name}"
+
+    # yarrrml ``inversepredicates``: the po also states the INVERSE
+    # relation (object, inv_pred, subject). Plain objects synthesize a
+    # swapped TriplesMap over the same logical source — the executor's
+    # same-source fusion keeps it in the one scan; mapping-reference
+    # objects add a referencing POM on each parent TM pointing back at
+    # the child mapping with the join condition swapped.
+    tm_by_name = {tm.name: tm for tm in tms}
+    extra_tms: list[TriplesMap] = []
+    for tm in tms:
+        for k, pom in enumerate(tm.predicate_object_maps):
+            if pom.inverse_predicate is None:
+                continue
+            inv = pom.inverse_predicate
+            if pom.parent_triples_map is not None:
+                for parent_name in by_map_name.get(pom.parent_triples_map, []):
+                    tm_by_name[parent_name].predicate_object_maps.append(
+                        PredicateObjectMap(
+                            predicate=inv,
+                            object=None,
+                            parent_triples_map=base_name_of[tm.name],
+                            join_conditions=[
+                                JoinCondition(child=jc.parent, parent=jc.child)
+                                for jc in pom.join_conditions
+                            ],
+                        )
+                    )
+                continue
+            if pom.object is None or pom.object.language or pom.object.datatype:
+                raise YarrrmlError(
+                    f"mapping {tm.label}: inversepredicates needs an IRI-valued object"
+                )
+            inv_subject = replace(pom.object, term_type="IRI")
+            subj_as_object = replace(tm.subject_map.term_map, term_type="IRI")
+            extra_tms.append(
+                TriplesMap(
+                    name=f"{tm.name}_inv{k}",
+                    logical_source=tm.logical_source,
+                    subject_map=SubjectMap(
+                        term_map=inv_subject,
+                        graph_map=tm.subject_map.graph_map,
+                        logical_target=tm.subject_map.logical_target,
+                    ),
+                    predicate_object_maps=[
+                        PredicateObjectMap(predicate=inv, object=subj_as_object)
+                    ],
+                    label=tm.label,
+                )
+            )
+    tms.extend(extra_tms)
 
     # referencing object maps point at a MAPPING; a multi-source parent
     # fans out to one referencing POM per parent TriplesMap
