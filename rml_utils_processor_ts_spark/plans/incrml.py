@@ -85,11 +85,75 @@ class IncRMLError(ValueError):
     pass
 
 
+class ConfigShapeError(ValueError):
+    """SHACL-analog validation error (the reference validates processor
+    configs against shapes, /root/reference/processors.ttl:191-301; here
+    ill-typed IncRML/LDES configs fail upfront with the offending field
+    named, instead of a deep ValueError mid-expansion)."""
+
+    def __init__(self, field_name: str, message: str):
+        self.field_name = field_name
+        super().__init__(f"config shape violation at {field_name}: {message}")
+
+
+def _shape_iri(field_name: str, value, *, optional: bool = False) -> None:
+    if value is None:
+        if optional:
+            return
+        raise ConfigShapeError(field_name, "required IRI is missing")
+    if not isinstance(value, str) or not value.startswith(("http://", "https://", "urn:")):
+        raise ConfigShapeError(field_name, f"expected an absolute IRI, got {value!r}")
+
+
+def validate_incrml_config(config: IncRMLConfig) -> None:
+    """Upfront shape validation of an IncRMLConfig (≙ the SHACL shapes
+    sh:minCount/sh:datatype constraints on the IncRMLTransformer config,
+    processors.ttl:191-301). Raises ConfigShapeError naming the field."""
+    if not isinstance(config, IncRMLConfig):
+        raise ConfigShapeError("config", f"expected IncRMLConfig, got {type(config).__name__}")
+    if not isinstance(config.state_base_path, str) or not config.state_base_path.strip():
+        raise ConfigShapeError(
+            "state_base_path", f"required non-empty string, got {config.state_base_path!r}"
+        )
+    lc = config.lifecycle
+    if not isinstance(lc, LifeCycleConfig):
+        raise ConfigShapeError(
+            "lifecycle", f"expected LifeCycleConfig, got {type(lc).__name__}"
+        )
+    _shape_iri("lifecycle.predicate", lc.predicate)
+    for event in _EVENTS:
+        ev = getattr(lc, event)
+        if not isinstance(ev, LifeCycleEvent):
+            raise ConfigShapeError(
+                f"lifecycle.{event}", f"expected LifeCycleEvent, got {type(ev).__name__}"
+            )
+        _shape_iri(f"lifecycle.{event}.function", ev.function)
+        _shape_iri(f"lifecycle.{event}.type", ev.type)
+    t = config.target
+    if t is None:
+        return
+    if not isinstance(t, LDESTargetConfig):
+        raise ConfigShapeError("target", f"expected LDESTargetConfig, got {type(t).__name__}")
+    if not isinstance(t.target_path, str) or not t.target_path.strip():
+        raise ConfigShapeError(
+            "target.target_path", f"required non-empty string, got {t.target_path!r}"
+        )
+    _shape_iri("target.timestamp_path", t.timestamp_path, optional=True)
+    _shape_iri("target.version_of_path", t.version_of_path, optional=True)
+    _shape_iri("target.serialization", t.serialization)
+    if not isinstance(t.unique_iris, bool):
+        raise ConfigShapeError("target.unique_iris", f"expected bool, got {t.unique_iris!r}")
+    _shape_iri("target.ldes_base_iri", t.ldes_base_iri, optional=True)
+    _shape_iri("target.shape", t.shape, optional=True)
+
+
 _EVENTS = ("create", "update", "delete")
 
 
 def expand_to_incrml(plan: MappingPlan, config: IncRMLConfig) -> MappingPlan:
-    """The IncrementalizeRule: plan -> CDC plan."""
+    """The IncrementalizeRule: plan -> CDC plan. Validates the config
+    shape upfront (ConfigShapeError names the offending field)."""
+    validate_incrml_config(config)
     groups: dict[tuple[str, str, str], list[TriplesMap]] = {}
     order: list[tuple[str, str, str]] = []
     passthrough: list[TriplesMap] = []
