@@ -260,13 +260,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, LSH-bucketed scale path: hyperplane-sign
-    buckets as the self-join key instead of a metadata block column."""
+    buckets as the self-join key instead of a metadata block column;
+    2 independent bands OR-amplify recall (candidates unioned across
+    bands, deduped before the exact-cosine verify)."""
     from rml_utils_processor_ts_spark.operators.dedup import embedding_neardup_pairs_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return embedding_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4)
+    return embedding_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4, n_bands=2)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,25 +966,42 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _emb_lsh_sql(n_planes: int = 4, threshold: float = 0.5, dim: int = 64, seed: int = 42) -> str:
+def _emb_lsh_sql(
+    n_planes: int = 4, threshold: float = 0.5, dim: int = 64, seed: int = 42, n_bands: int = 1
+) -> str:
     """DuckDB twin of dedup.embedding_neardup_pairs_lsh — hyperplanes
-    inlined as DOUBLE[] literals (same deterministic md5 scheme)."""
+    inlined as DOUBLE[] literals (same deterministic md5 scheme); each
+    band's plane set derives from seed + 1000003*band, candidate pairs
+    union across bands and dedup before the cosine verify."""
     from rml_utils_processor_ts_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim, n_planes, seed)
-    bits = " || ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(x) for x in w)
-        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
-        for w in planes
+    def bits_expr(band: int) -> str:
+        planes = _hyperplanes(dim, n_planes, seed + 1000003 * band)
+        return " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in w)
+            + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+            for w in planes
+        )
+
+    bucket_cols = ",\n       ".join(
+        f"{bits_expr(band)} AS bucket_{band}" for band in range(n_bands)
+    )
+    cand_unions = "\nUNION ALL\n".join(
+        f"SELECT a.vec_id AS ida, x.vec_id AS idb FROM b a "
+        f"JOIN b x ON a.bucket_{band} = x.bucket_{band} AND a.vec_id < x.vec_id"
+        for band in range(n_bands)
     )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bits} AS bucket FROM e)
-SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+b AS (SELECT vec_id, v,
+       {bucket_cols}
+      FROM e),
+cand AS (SELECT DISTINCT ida, idb FROM ({cand_unions}))
+SELECT c.ida AS id_a, c.idb AS id_b,
        round(list_dot_product(a.v, x.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS cosine
-FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+FROM cand c JOIN e a ON a.vec_id = c.ida JOIN e x ON x.vec_id = c.idb
 WHERE list_dot_product(a.v, x.v) /
       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))) >= {threshold}
 """
@@ -1183,7 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_embedding_cosine": _EMB_COSINE_SQL,
-        "dedup_embedding_lsh": _emb_lsh_sql(threshold=0.3),
+        "dedup_embedding_lsh": _emb_lsh_sql(threshold=0.3, n_bands=2),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "text_profile": _TEXT_PROFILE_SQL,

@@ -270,27 +270,52 @@ def embedding_neardup_pairs_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 4,
+    n_bands: int = 1,
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup at scale: random-hyperplane LSH buckets replace
     the metadata block column — the self-join shuffles on the bucket key
     (~n/2^planes candidates per bucket, never all-pairs), then exact
-    cosine verifies candidates. Same hyperplanes as the ANN path
-    (similarity._hyperplanes: deterministic, SQL-oracle-reproducible).
-    Recall is the LSH guarantee: high-cosine pairs agree on sign bits
-    with high probability; more planes = smaller buckets, lower recall."""
+    cosine verifies candidates, so precision is always 1.0. Same
+    hyperplane scheme as the ANN path (similarity._hyperplanes:
+    deterministic, SQL-oracle-reproducible).
+
+    Recall math (r02 ADVICE — the magnitude matters): a pair at angle
+    theta agrees on one plane's sign with p = 1 - theta/pi, so one
+    signature of ``n_planes`` bits collides with p^n_planes — at cosine
+    0.95 (theta ~= 0.318 rad, p ~= 0.899) that is ~0.65 for 4 planes: a
+    silent ~1/3 recall loss. ``n_bands`` independent plane sets amplify
+    OR-style (candidates unioned across bands, deduped before verify):
+    recall = 1 - (1 - p^n_planes)^n_bands ~= 0.88 at 2 bands, 0.96 at 3,
+    0.985 at 4 for the same pair. Band b's planes derive from
+    ``seed + 1000003*b`` (band 0 == the single-band behavior)."""
     from .similarity import _dot, _hyperplanes, _norm, lsh_bucket_column, probe_dim
 
     dim = probe_dim(emb, vec_col) if dim is None else dim
-    planes = _hyperplanes(dim, n_planes, seed)
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", lsh_bucket_column(F.col("v"), planes)
+    band_buckets = [
+        F.struct(
+            F.lit(band).alias("band"),
+            lsh_bucket_column(
+                F.col("v"), _hyperplanes(dim, n_planes, seed + 1000003 * band)
+            ).alias("bucket"),
+        )
+        for band in range(n_bands)
+    ]
+    base = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__bb", F.explode(F.array(*band_buckets)))
+        .select("id", "v", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
     )
     a, b = base.alias("a"), base.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -298,6 +323,10 @@ def embedding_neardup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if n_bands > 1:
+        # a pair colliding in several bands appears once (OR semantics)
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -242,3 +242,53 @@ ex:map_pages a rr:TriplesMap ;
     labels = [r for r in rows if r["p"].endswith("label")]
     assert len(labels) == 100
     assert all(r["o"].startswith("label ") for r in labels)
+
+
+def test_embedding_lsh_bands_amplify_recall(spark):
+    """r02 ADVICE: a single 4-plane signature keeps only ~65% of true
+    pairs at cosine 0.95. Banding must (a) stay a subset of the exact
+    pairs (precision 1.0 — candidates are cosine-verified), (b) find at
+    least as many pairs as one band, (c) lift recall materially."""
+    import math
+    import random
+
+    from rml_utils_processor_ts_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(60):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in base))
+        base = [x / n for x in base]
+        near = [x + rng.gauss(0, 0.02) for x in base]  # cosine ~0.999
+        rows.append((vid, base))
+        rows.append((vid + 1, near))
+        vid += 2
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.95, block_col=None).collect()
+    }
+    assert len(exact) >= 60  # every planted pair qualifies
+
+    def lsh_pairs(n_bands):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs_lsh(
+                emb, threshold=0.95, n_planes=4, n_bands=n_bands
+            ).collect()
+        }
+
+    one, three = lsh_pairs(1), lsh_pairs(3)
+    assert one <= exact and three <= exact  # verify step keeps precision 1.0
+    assert one <= three  # band 0 is the single-band signature
+    recall_1 = len(one & exact) / len(exact)
+    recall_3 = len(three & exact) / len(exact)
+    assert recall_3 > recall_1
+    assert recall_3 >= 0.9, (recall_1, recall_3)
