@@ -74,18 +74,39 @@ def triples_to_ntriple_lines(df: DataFrame) -> DataFrame:
     return df.select(ntriple_line_column(df).alias("line")).distinct()
 
 
-def turtle_subject_lines(df: DataFrame) -> DataFrame:
+def turtle_subject_lines(df: DataFrame, max_group_rows: int = 10_000) -> DataFrame:
     """Deterministic Turtle: one line per subject,
     ``<s> <p1> o1, o2 ; <p2> o3 .`` with predicates and objects in
     sorted order (the reference's IncRML configs request formats:Turtle,
     /root/reference/test/incrml.test.ts:345). Graphs don't exist in
     Turtle, so the graph column is ignored. Full IRIs, no prefix
     directives — prefix-free Turtle is valid and byte-stable. Two
-    partial-aggregated shuffles ((s,p) then s); all formatting JVM-side."""
+    partial-aggregated shuffles ((s,p) then s); all formatting JVM-side.
+
+    Row-size guard (r02 ADVICE): a hot subject — e.g. an LDES stream
+    IRI carrying ``tree:member`` for every member — would otherwise
+    collect the whole corpus into ONE aggregated row and OOM an
+    executor. Subjects with more than ``max_group_rows`` triples spill
+    to separate ``<s> <p> o .`` statements (still valid, deterministic
+    Turtle); everything else keeps the grouped form. The spill set is
+    detected with one cheap partial-aggregated count and broadcast —
+    by construction it only ever holds pathological subjects."""
     s = _term(F.col("s"), F.col("s_termtype"), F.lit(None), F.lit(None))
     p = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
     o = _term(F.col("o"), F.col("o_termtype"), F.col("o_datatype"), F.col("o_lang"))
-    terms = df.select(s.alias("st"), p.alias("pt"), o.alias("ot"))
+    all_terms = df.select(s.alias("st"), p.alias("pt"), o.alias("ot"))
+    hot = (
+        all_terms.groupBy("st")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_group_rows)
+        .select("st")
+    )
+    spilled = (
+        all_terms.join(F.broadcast(hot), "st", "left_semi")
+        .select(F.concat(F.concat_ws(" ", "st", "pt", "ot"), F.lit(" .")).alias("line"))
+        .distinct()  # quads differing only in graph collapse, as collect_set does
+    )
+    terms = all_terms.join(F.broadcast(hot), "st", "left_anti")
     by_pred = terms.groupBy("st", "pt").agg(
         F.array_join(F.sort_array(F.collect_set("ot")), ", ").alias("objs")
     )
@@ -95,9 +116,10 @@ def turtle_subject_lines(df: DataFrame) -> DataFrame:
             " ; ",
         ).alias("body")
     )
-    return by_subj.select(F.concat_ws(" ", F.col("st"), F.col("body")).alias("line")).withColumn(
-        "line", F.concat(F.col("line"), F.lit(" ."))
-    )
+    grouped = by_subj.select(
+        F.concat_ws(" ", F.col("st"), F.col("body")).alias("line")
+    ).withColumn("line", F.concat(F.col("line"), F.lit(" .")))
+    return grouped.unionByName(spilled)
 
 
 def write_nquads(df: DataFrame, path: str, partitions: int = 8) -> None:

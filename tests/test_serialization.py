@@ -172,3 +172,33 @@ ex:map_default a rr:TriplesMap ;
 
     default = [line for line in _read_dir(written["default"]) if line]
     assert len(default) == 5 and all(line.endswith("<http://x/g> .") for line in default)
+
+
+def test_turtle_hot_subject_spills_to_single_statements(spark):
+    """r02 ADVICE: a subject with more triples than max_group_rows must
+    NOT collect into one aggregated row (executor OOM risk for LDES
+    tree:member fan-out) — it spills to separate '<s> <p> o .' lines,
+    still valid deterministic Turtle; cold subjects stay grouped."""
+    from rml_utils_processor_ts_spark.sinks.nquads import turtle_subject_lines
+
+    rows = [
+        ("http://x/stream", "IRI", "http://x/member", f"http://x/m{i}", "IRI", None, None, None, "default")
+        for i in range(5)
+    ] + [
+        ("http://x/a", "IRI", "http://x/p", "v1", "Literal", None, None, None, "default"),
+        ("http://x/a", "IRI", "http://x/p", "v2", "Literal", None, None, None, "default"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s string, s_termtype string, p string, o string, o_termtype string,"
+        " o_datatype string, o_lang string, g string, target_id string",
+    )
+    lines = {r["line"] for r in turtle_subject_lines(df, max_group_rows=3).collect()}
+    # hot subject: 5 single statements
+    assert all(f"<http://x/stream> <http://x/member> <http://x/m{i}> ." in lines for i in range(5))
+    # cold subject: one grouped line
+    assert '<http://x/a> <http://x/p> "v1", "v2" .' in lines
+    assert len(lines) == 6
+    # default cap keeps everything grouped
+    grouped = {r["line"] for r in turtle_subject_lines(df).collect()}
+    assert len(grouped) == 2
