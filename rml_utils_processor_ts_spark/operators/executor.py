@@ -86,13 +86,16 @@ def _collect_refs(tm: TriplesMap) -> list[str]:
     return out
 
 
-def _obj_struct(pred: Column, obj: Column, ttype: Column, dtype: Column, lang: Column) -> Column:
+def _obj_struct(
+    pred: Column, obj: Column, ttype: Column, dtype: Column, lang: Column, target: Column
+) -> Column:
     return F.struct(
         pred.alias("p"),
         obj.cast("string").alias("o"),
         ttype.alias("o_termtype"),
         dtype.alias("o_datatype"),
         lang.alias("o_lang"),
+        target.alias("target_id"),
     )
 
 
@@ -289,14 +292,24 @@ class PlanExecutor:
                 if pom.parent_triples_map is not None:
                     base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
                     frames.append(
-                        self._join_pom(tm, pom, base, resolve, graph, target, by_name)
+                        self._join_pom(
+                            tm, pom, base, resolve, graph, self._pom_target_ids(tm, pom), by_name
+                        )
                     )
                     continue
                 pred = compile_term_map(pom.predicate, resolve, "predicate")
                 obj = compile_term_map(pom.object, resolve, "object")
-                quad_structs.append(
-                    quad(pred, obj, effective_term_type(pom.object, "object"), pom.object.datatype, pom.object.language)
-                )
+                for tid in self._pom_target_ids(tm, pom):
+                    quad_structs.append(
+                        quad(
+                            pred,
+                            obj,
+                            effective_term_type(pom.object, "object"),
+                            pom.object.datatype,
+                            pom.object.language,
+                            target=tid,
+                        )
+                    )
 
         if quad_structs:
             exploded = (
@@ -318,6 +331,17 @@ class PlanExecutor:
         lt = tm.subject_map.logical_target
         return lt.target_id if lt is not None else "default"
 
+    def _pom_target_ids(self, tm: TriplesMap, pom) -> list[str]:
+        """RML-target union semantics: a quad routes to every target
+        declared on any term map it involves (subject map + POM/object
+        map); no declared target anywhere -> the default output."""
+        ids: list[str] = []
+        if tm.subject_map.logical_target is not None:
+            ids.append(tm.subject_map.logical_target.target_id)
+        if pom.logical_target is not None and pom.logical_target.target_id not in ids:
+            ids.append(pom.logical_target.target_id)
+        return ids or ["default"]
+
     def _project_tm(
         self,
         tm: TriplesMap,
@@ -338,7 +362,14 @@ class PlanExecutor:
         structs: list[Column] = list(extra_structs or [])
         for cls in tm.subject_map.classes:
             structs.append(
-                _obj_struct(F.lit(voc.RDF_TYPE), F.lit(cls), F.lit("IRI"), F.lit(None).cast("string"), F.lit(None).cast("string"))
+                _obj_struct(
+                    F.lit(voc.RDF_TYPE),
+                    F.lit(cls),
+                    F.lit("IRI"),
+                    F.lit(None).cast("string"),
+                    F.lit(None).cast("string"),
+                    F.lit(target_id),
+                )
             )
         join_poms: list[PredicateObjectMap] = []
         for pom in tm.predicate_object_maps:
@@ -355,9 +386,17 @@ class PlanExecutor:
                 # survive (reference keeps only rdf:type/lifecycle POMs on
                 # delete TMs, /root/reference/src/rml/incrml.ts:554-576)
                 continue
-            structs.append(
-                _obj_struct(pred, obj, F.lit(ttype), F.lit(dtype).cast("string"), F.lit(lang).cast("string"))
-            )
+            for tid in self._pom_target_ids(tm, pom):
+                structs.append(
+                    _obj_struct(
+                        pred,
+                        obj,
+                        F.lit(ttype),
+                        F.lit(dtype).cast("string"),
+                        F.lit(lang).cast("string"),
+                        F.lit(tid),
+                    )
+                )
 
         base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
 
@@ -385,6 +424,7 @@ class PlanExecutor:
                         F.lit("IRI"),
                         F.lit(None).cast("string"),
                         F.lit(None).cast("string"),
+                        F.lit(target_id),
                     )
                 )
             structs.append(
@@ -394,6 +434,7 @@ class PlanExecutor:
                     F.lit("Literal"),
                     F.lit(_XSD_DATETIME),
                     F.lit(None).cast("string"),
+                    F.lit(target_id),
                 )
             )
             if lt.ldes_base_iri:
@@ -451,14 +492,16 @@ class PlanExecutor:
                     F.col("__pom.o_datatype").alias("o_datatype"),
                     F.col("__pom.o_lang").alias("o_lang"),
                     graph.alias("g"),
-                    F.lit(target_id).alias("target_id"),
+                    F.col("__pom.target_id").alias("target_id"),
                 )
                 .filter(F.col("o").isNotNull())
             )
             frames.append(exploded)
 
         for pom in join_poms:
-            frames.append(self._join_pom(tm, pom, base, resolve, graph, target_id, by_name))
+            frames.append(
+                self._join_pom(tm, pom, base, resolve, graph, self._pom_target_ids(tm, pom), by_name)
+            )
 
         return frames, {}
 
@@ -469,12 +512,14 @@ class PlanExecutor:
         child_base: DataFrame,
         resolve,
         graph: Column,
-        target_id: str,
+        target_id: str | list[str],
         by_name: dict[str, TriplesMap],
     ) -> DataFrame:
         """Referencing object map (B9): child.expr == parent.expr equi-join;
         object = parent subject IRI. Join strategy left to Catalyst/AQE
-        (broadcast when the parent side is small, SMJ otherwise)."""
+        (broadcast when the parent side is small, SMJ otherwise). A list
+        of target ids stamps the SAME join output once per target (one
+        join, exploded) — never one join per target."""
         parent_tm = by_name.get(pom.parent_triples_map)
         if parent_tm is None:
             raise ValueError(f"parentTriplesMap {pom.parent_triples_map} not found")
@@ -512,6 +557,12 @@ class PlanExecutor:
         s_ttype = effective_term_type(tm.subject_map.term_map, "subject")
         o_ttype = effective_term_type(parent_tm.subject_map.term_map, "subject")
         joined = child_side.join(parent_side, cond, "inner")
+        targets = [target_id] if isinstance(target_id, str) else target_id
+        tcol = (
+            F.lit(targets[0])
+            if len(targets) == 1
+            else F.explode(F.array(*[F.lit(t) for t in targets]))
+        )
         return joined.select(
             F.col("s"),
             F.lit(s_ttype).alias("s_termtype"),
@@ -521,7 +572,7 @@ class PlanExecutor:
             F.lit(None).cast("string").alias("o_datatype"),
             F.lit(None).cast("string").alias("o_lang"),
             F.col("__g").alias("g"),
-            F.lit(target_id).alias("target_id"),
+            tcol.alias("target_id"),
         )
 
 

@@ -108,6 +108,11 @@ class PredicateObjectMap:
     # yarrrml compiler into swapped TriplesMaps / referencing POMs before
     # the plan is returned — never reaches the executor or plan_hash.
     inverse_predicate: TermMap | None = None
+    # rml:logicalTarget declared on the POM or its object map (broader
+    # RML-target surface than the reference's subject-map-only fixtures,
+    # /root/reference/test/rml.test.ts:43-50): this POM's quads route to
+    # the union of the subject-map target and this one.
+    logical_target: "LogicalTarget | None" = None
 
 
 @dataclass

@@ -241,6 +241,11 @@ def _parse_pom(g: Graph, node: Term) -> PredicateObjectMap:
     obj_node = g.object(node, voc.RR_OBJECT_MAP)
     if obj_node is None:
         raise MappingParseError("PredicateObjectMap without objectMap")
+    # rml:logicalTarget on the POM or its object map (broader RML-target
+    # surface than the subject-map-only reference fixtures): routes this
+    # POM's quads to the union of subject target + this target
+    lt_node = g.object(node, voc.RML_LOGICAL_TARGET) or g.object(obj_node, voc.RML_LOGICAL_TARGET)
+    logical_target = _parse_logical_target(g, lt_node) if lt_node is not None else None
     parent = g.object(obj_node, voc.RR_PARENT_TRIPLES_MAP)
     if parent is not None:
         joins: list[JoinCondition] = []
@@ -257,8 +262,16 @@ def _parse_pom(g: Graph, node: Term) -> PredicateObjectMap:
                 raise MappingParseError("join condition needs valueParameter + valueParameter2")
             parent_tm.datatype = None  # clear marker
             joins.append(JoinCondition(child=child, parent=parent_tm))
-        return PredicateObjectMap(predicate=pred, object=None, parent_triples_map=parent.value, join_conditions=joins)
-    return PredicateObjectMap(predicate=pred, object=_parse_term_map(g, obj_node))
+        return PredicateObjectMap(
+            predicate=pred,
+            object=None,
+            parent_triples_map=parent.value,
+            join_conditions=joins,
+            logical_target=logical_target,
+        )
+    return PredicateObjectMap(
+        predicate=pred, object=_parse_term_map(g, obj_node), logical_target=logical_target
+    )
 
 
 def parse_mapping(turtle_text: str, source_bindings: dict[str, str] | None = None, add_prefixes: bool = True) -> MappingPlan:

@@ -21,12 +21,16 @@ def _safe_dirname(target_id: str) -> str:
 
 
 def plan_targets(plan: MappingPlan) -> dict[str, LogicalTarget]:
-    """target_id -> LogicalTarget declared anywhere in the plan."""
+    """target_id -> LogicalTarget declared anywhere in the plan
+    (subject maps AND predicate-object/object maps)."""
     out: dict[str, LogicalTarget] = {}
     for tm in plan.triples_maps:
         lt = tm.subject_map.logical_target
         if lt is not None:
             out[lt.target_id] = lt
+        for pom in tm.predicate_object_maps:
+            if pom.logical_target is not None:
+                out[pom.logical_target.target_id] = pom.logical_target
     return out
 
 def write_targets(result, plan: MappingPlan, out_dir: str, partitions: int = 8) -> dict[str, str]:

@@ -202,3 +202,48 @@ def test_turtle_hot_subject_spills_to_single_statements(spark):
     # default cap keeps everything grouped
     grouped = {r["line"] for r in turtle_subject_lines(df).collect()}
     assert len(grouped) == 2
+
+
+def test_pom_level_logical_target_routes_union(spark):
+    """rml:logicalTarget on an object map (broader RML-target surface
+    than the reference's subject-map-only fixtures): that POM's quads
+    route to the declared target (a quad with ANY declared target skips
+    the default output, per RML-target union semantics); POMs without
+    targets stay on the default output."""
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/{id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/p1> ] ;
+        rr:objectMap [ rml:reference "a" ;
+            rml:logicalTarget [ a rmlt:LogicalTarget ;
+                rmlt:serialization formats:N-Triples ;
+                rmlt:target [ a void:Dataset ; void:dataDump <file:///side/p1.nt> ] ] ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/p2> ] ;
+        rr:objectMap [ rml:reference "b" ] ] .
+"""
+    doc = '[{"id": "1", "a": "A", "b": "B"}]'
+    res = execute_mapping(spark, mapping, {"d.json": "inline:" + doc})
+    rows = {(r["p"], r["target_id"]) for r in res.triples.collect()}
+    side = next(t for _, t in rows if t != "default")
+    assert rows == {("http://x/p1", side), ("http://x/p2", "default")}
+
+    # subject-level target + POM-level target => union: p1 to both
+    both = mapping.replace(
+        'rr:subjectMap [ rr:template "http://x/{id}" ]',
+        'rr:subjectMap [ rr:template "http://x/{id}" ;'
+        " rml:logicalTarget [ a rmlt:LogicalTarget ;"
+        " rmlt:serialization formats:N-Quads ;"
+        " rmlt:target [ a void:Dataset ; void:dataDump <file:///main/all.nq> ] ] ]",
+    )
+    res2 = execute_mapping(spark, both, {"d.json": "inline:" + doc})
+    rows2 = {(r["p"], r["target_id"]) for r in res2.triples.collect()}
+    targets_p1 = {t for p, t in rows2 if p == "http://x/p1"}
+    targets_p2 = {t for p, t in rows2 if p == "http://x/p2"}
+    assert len(targets_p1) == 2 and "default" not in targets_p1
+    assert len(targets_p2) == 1 and "default" not in targets_p2
