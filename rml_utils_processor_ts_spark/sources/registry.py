@@ -316,6 +316,14 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
                 nested = F.coalesce(
                     n_opener_chars > F.size("__frags") * len(opener), F.lit(False)
                 )
+            elif detect == "rcount":
+                # alternative detector: regexp_count opener pass (no
+                # match-array allocation, unlike r02's regexp_extract_all)
+                nested = F.coalesce(
+                    F.regexp_count(F.col(payload_col), F.lit(rf"<{tag}[\s/>]"))
+                    > F.size("__frags"),
+                    F.lit(False),
+                )
             elif detect != "0":
                 # default: substring probe over the already-extracted
                 # fragments; opt out for corpora known flat (=0)
