@@ -473,6 +473,72 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_planes=6)
 
 
+def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + exact dedup on the canonical form (web-corpus
+    hygiene). The documents table has no URL column, so deterministic
+    messy URLs are synthesized from doc_id IN THE QUERY (mixed-case
+    scheme/host, default port, tracking params, fragment, trailing
+    slash) — the oracle builds the same strings and must agree on every
+    normalized value, host, and registered domain."""
+    from rml_utils_processor_ts_spark.operators.web import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % 101).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_medium=x#sec"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    host = url_host(F.col("url"))
+    per_doc = with_url.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("norm_url"),
+        host.alias("host"),
+        registered_domain(host).alias("reg_domain"),
+    )
+    return (
+        per_doc.groupBy("norm_url", "host", "reg_domain")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (C4-style). The synthetic documents
+    are single-paragraph word soup, so the query splits on a frequent
+    token (' table ') purely to exercise the multi-paragraph path —
+    split -> normalize -> md5 -> min-keeper per hash."""
+    from rml_utils_processor_ts_spark.operators.web import paragraph_dedup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return paragraph_dedup_groups(docs, delimiter=" table ", min_chars=3)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter with per-rule audit flags (flags cast
+    to int for the cross-engine hash)."""
+    from rml_utils_processor_ts_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_filter(docs, min_tokens=30)
+    flag_cols = ["len_ok", "word_len_ok", "symbols_ok", "stopwords_ok", "keep"]
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "stopword_ratio",
+        *[F.col(c).cast("int").alias(c) for c in flag_cols],
+    )
+
+
 def q_kafka_records_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 oracle gate (r02 verdict "Next round" #3): the Kafka
     value->records transform on a static Kafka-shaped frame — binary
@@ -639,6 +705,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_link_fuzzy": q_entity_link_fuzzy,
     "skew_salted_agg": q_skew_salted_agg,
     "kafka_records_extract": q_kafka_records_extract,
+    "url_normalize_dedup": q_url_normalize_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
+    "quality_filter": q_quality_filter,
     "simhash": q_simhash,
     "multimodal_features": q_multimodal_features,
     "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -1165,6 +1234,55 @@ def oracle_sql() -> dict[str, str]:
         "nquads_lines": _NQUADS_SQL,
         "ntriples_lines": _NTRIPLES_SQL,
         "turtle_lines": _TURTLE_SQL,
+        "url_normalize_dedup": """
+            -- closed-form expected output: the synthesized URL's
+            -- canonical form is known analytically from doc_id, so the
+            -- oracle derives it independently of the regex pipeline
+            WITH d AS (
+              SELECT doc_id,
+                     'https://www.site' || CAST(doc_id % 37 AS VARCHAR) ||
+                     '.example.com/Path/' || CAST(doc_id % 101 AS VARCHAR) ||
+                     '?ref=' || CAST(doc_id % 5 AS VARCHAR) AS norm_url,
+                     'www.site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+                     'example.com' AS reg_domain
+              FROM documents)
+            SELECT norm_url, host, reg_domain,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM d GROUP BY 1, 2, 3
+        """,
+        "paragraph_dedup": """
+            WITH p AS (
+              SELECT doc_id, unnest(string_split(text, ' table ')) AS para FROM documents
+            ), n AS (
+              SELECT doc_id, trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) AS norm FROM p
+            )
+            SELECT md5(norm) AS para_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM n WHERE length(norm) >= 3 GROUP BY 1
+        """,
+        "quality_filter": f"""
+            WITH base AS (
+              SELECT doc_id, lower(text) AS raw, {_TEXT_NORM} AS t,
+                     string_split({_TEXT_NORM}, ' ') AS w
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                len(w) AS n_tokens,
+                round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS mean_word_len,
+                round(CAST(length(raw) - length(regexp_replace(raw, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(raw), 6) AS symbol_ratio,
+                round(CAST(len(list_filter(w, x -> list_contains({_STOPWORDS}, x))) AS DOUBLE) / len(w), 6) AS stopword_ratio
+              FROM base
+            )
+            SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, stopword_ratio,
+              CAST(n_tokens BETWEEN 30 AND 100000 AS INTEGER) AS len_ok,
+              CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS word_len_ok,
+              CAST(symbol_ratio <= 0.1 AS INTEGER) AS symbols_ok,
+              CAST(stopword_ratio >= 0.001 AS INTEGER) AS stopwords_ok,
+              CAST(n_tokens BETWEEN 30 AND 100000
+                   AND mean_word_len BETWEEN 3.0 AND 10.0
+                   AND symbol_ratio <= 0.1
+                   AND stopword_ratio >= 0.001 AS INTEGER) AS keep
+            FROM m
+        """,
         "kafka_records_extract": """
             SELECT 'nations' AS topic,
                    CAST(n_regionkey AS INTEGER) AS part_id,

@@ -173,3 +173,60 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias("lang_pred"),
         "fingerprint",
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_ratio: float = 0.001,
+) -> DataFrame:
+    """Gopher/C4-style rule filter: per-document metrics, one boolean
+    per rule, and the final ``keep`` conjunction — so a pipeline can
+    both filter and AUDIT which rule dropped each document (silent
+    filtering is how corpora rot). Pure Column expressions over one
+    staged token array; symbol ratio = share of characters outside
+    [a-z0-9 ] after lowercasing."""
+    c = F.col(text_col)
+    toks = F.col("__toks")
+    low = F.col("__low")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    staged = df.select(
+        F.col(id_col), F.lower(c).alias("__low"), tokens(c).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            (F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))).cast("double")
+            / F.length(low),
+            6,
+        ).alias("symbol_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    flags = staged.withColumns(
+        {
+            "len_ok": (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens),
+            "word_len_ok": (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len),
+            "symbols_ok": F.col("symbol_ratio") <= max_symbol_ratio,
+            "stopwords_ok": F.col("stopword_ratio") >= min_stopword_ratio,
+        }
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("len_ok") & F.col("word_len_ok") & F.col("symbols_ok") & F.col("stopwords_ok"),
+    )

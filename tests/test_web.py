@@ -1,0 +1,82 @@
+"""Web-corpus operators: URL normalization edge cases, URL dedup,
+paragraph-level dedup, quality filter flags."""
+
+from pyspark.sql import functions as F
+
+from rml_utils_processor_ts_spark.operators.web import (
+    normalize_url,
+    paragraph_dedup_groups,
+    registered_domain,
+    url_dedup_groups,
+    url_host,
+)
+
+
+def test_normalize_url_edge_cases(spark):
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&q=1#frag", "https://www.ex.com/a/b?q=1"),
+        ("http://ex.com:80/", "http://ex.com"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),  # non-default port kept
+        ("https://ex.com/path?utm_medium=a&utm_source=b", "https://ex.com/path"),
+        ("https://ex.com/p?a=1&fbclid=zzz&b=2", "https://ex.com/p?a=1&b=2"),
+        ("https://Sub.Deep.Ex.Co.Uk/P", "https://sub.deep.ex.co.uk/P"),  # path case kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_registered_domain_and_host(spark):
+    df = spark.createDataFrame([("https://A.B.Example.ORG:8443/x?y#z",)], "url string")
+    row = df.select(
+        url_host(F.col("url")).alias("h"),
+        registered_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()[0]
+    assert row["h"] == "a.b.example.org"
+    assert row["d"] == "example.org"
+
+
+def test_url_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://ex.com/a?utm_source=x"),
+            (2, "HTTPS://EX.COM/a"),  # same canonical as 1
+            (3, "https://ex.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["norm_url"]: (r["keep_id"], r["n_copies"]) for r in url_dedup_groups(df).collect()}
+    assert rows["https://ex.com/a"] == (1, 2)
+    assert rows["https://ex.com/b"] == (3, 1)
+
+
+def test_paragraph_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta.\n\nshared  PARA here.\n\n"),
+            (2, "shared para HERE.\n\nunique text."),
+        ],
+        "doc_id long, text string",
+    )
+    groups = {r["para_hash"]: r for r in paragraph_dedup_groups(docs).collect()}
+    # the normalized shared paragraph appears in both docs -> keeper is doc 1
+    shared = [g for g in groups.values() if g["n_copies"] == 2]
+    assert len(shared) == 1 and shared[0]["keep_doc_id"] == 1
+    # empty trailing paragraph filtered; 3 distinct paragraphs total
+    assert len(groups) == 3
+
+
+def test_quality_filter_flags(spark):
+    from rml_utils_processor_ts_spark.operators.text import quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog " * 10
+    symbols = "@@@ ### $$$ %%% ^^^ &&& *** " * 20
+    short = "tiny text"
+    df = spark.createDataFrame(
+        [(1, good), (2, symbols), (3, short)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(df, min_tokens=30).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["symbols_ok"] is False
+    assert rows[3]["keep"] is False and rows[3]["len_ok"] is False
