@@ -24,15 +24,17 @@ def salt_column(key, n_salt: int):
 
 def row_spread_salt(n_salt: int):
     """Salt that spreads EVERY row — including byte-identical duplicate
-    rows, the common shape of a hot key in web corpora — round-robin over
-    ``n_salt`` values: ``pmod(monotonically_increasing_id(), n_salt)``.
-    The id is (partition_id << 33) | row_index, so consecutive rows of a
-    partition cycle through all salt values. Placement-dependent (stable
-    for scans + narrow plans, not across arbitrary reshuffles), which is
-    safe exactly where a salt is safe: wherever the RESULT is
-    salt-invariant (partial aggregation re-combined on the key; a join
-    whose small side is replicated for every salt value)."""
-    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")
+    rows, the common shape of a hot key in web corpora — by HASHING the
+    per-row ordinal: ``pmod(xxhash64(monotonically_increasing_id()),
+    n_salt)``. The hash matters: a bare ``pmod(id, n_salt)`` round-robin
+    aliases with periodic row layouts (measured: a 50%-hot dataset whose
+    hot rows sat at even positions used only half the salt values at
+    n_salt=16). Placement-dependent (stable for scans + narrow plans,
+    not across arbitrary reshuffles), which is safe exactly where a salt
+    is safe: wherever the RESULT is salt-invariant (partial aggregation
+    re-combined on the key; a join whose small side is replicated for
+    every salt value)."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int")
 
 
 def two_phase_agg(
