@@ -587,6 +587,26 @@ def q_kafka_records_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, the second scale path besides hyperplane LSH: corpus
+    partitioned into Voronoi cells, queries probe their n_probe best
+    cells, exact cosine ranks candidates. The gated variant uses
+    deterministic pseudo-random centroids so the DuckDB twin inlines
+    them as literals (trained spherical-k-means centroids are
+    pytest-covered; their cells are data-dependent and not
+    SQL-expressible)."""
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        ivf_ann_topk,
+        pseudo_random_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = pseudo_random_centroids(64, 16, seed=7)
+    return ivf_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=4, centroids=cents)
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation (hot-key guard) — must equal the
     plain GROUP BY the oracle runs."""
@@ -715,6 +735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_target_routing": q_multi_target_routing,
     "incrml_expansion": q_incrml_expansion,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
@@ -1076,6 +1097,48 @@ WHERE list_dot_product(a.v, x.v) /
 """
 
 
+def _ann_ivf_sql(
+    n_cells: int = 16, n_probe: int = 4, k: int = 10, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB twin of similarity.ivf_ann_topk with pseudo-random
+    centroids inlined as DOUBLE[] literals. Tie-breaks mirror the Spark
+    side exactly: cell assignment orders (dot DESC, cid ASC) — Spark's
+    array_position picks the FIRST max — and ranking uses the ROUNDED
+    cosine then neighbor_id."""
+    from rml_utils_processor_ts_spark.operators.similarity import pseudo_random_centroids
+
+    cents = pseudo_random_centroids(dim, n_cells, seed)
+    values = ",\n  ".join(
+        f"({i + 1}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cid, c) AS (VALUES
+  {values}),
+sc AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(v, c) DESC, cid ASC) AS rnk
+  FROM e CROSS JOIN cents),
+assigned AS (SELECT vec_id, v, cid AS cell FROM sc WHERE rnk = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
+           FROM sc WHERE vec_id IN (0, 1, 2, 3, 4) AND rnk <= {n_probe}),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+  FROM cand),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _fuzzy_link_sql(num_hashes: int = 8, bands: int = 8, min_jaccard: float = 0.4) -> str:
     """Char-shingle MinHash-LSH fuzzy linking in SQL — the DuckDB twin of
     operators/linking.link_fuzzy over the part-name mention fixture."""
@@ -1323,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _emb_lsh_sql(threshold=0.3, n_bands=2),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "text_profile": _TEXT_PROFILE_SQL,
         "events_window_agg": """
             SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,

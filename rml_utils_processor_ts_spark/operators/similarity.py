@@ -224,3 +224,123 @@ def lsh_ann_topk(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
     )
     return _bucket_join_topk(base, q, k, exclude_self=True)
+
+
+# -- IVF (inverted-file) ANN ---------------------------------------------------
+# The second scale path besides hyperplane LSH: partition the corpus
+# into Voronoi cells around centroids, probe only the n_probe cells
+# nearest each query. Cells are data-adaptive when trained (spherical
+# k-means below) or data-independent pseudo-random (md5-derived, which
+# keeps the DuckDB oracle able to inline them as literals).
+
+
+def pseudo_random_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit centroids from the md5 scheme (_hyperplanes,
+    normalized) — random spherical Voronoi cells, no training pass, and
+    a SQL oracle can reproduce cell assignment bit-for-bit."""
+    import math
+
+    cents = []
+    for w in _hyperplanes(dim, n_cells, seed):
+        n = math.sqrt(sum(x * x for x in w)) or 1.0
+        cents.append([x / n for x in w])
+    return cents
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Driver-side spherical k-means on a DETERMINISTIC sample (the
+    lowest ids — no RNG state): init = first n_cells sample vectors,
+    Lloyd iterations with cosine assignment, centroids re-normalized
+    each round, empty cells keep their previous centroid. The sample is
+    one tiny collect; assignment of the full corpus stays distributed
+    (ivf_cell_column)."""
+    import numpy as np
+
+    rows = emb.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=float)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if len(X) < n_cells:
+        raise ValueError(f"sample ({len(X)}) smaller than n_cells ({n_cells})")
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(float(np.linalg.norm(c)), 1e-12)
+    return C.tolist()
+
+
+def _centroid_scores(vec_col, centroids: list[list[float]]):
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.transform(cents, lambda c: _dot(vec_col, c))
+
+
+def ivf_cell_column(vec_col, centroids: list[list[float]]):
+    """1-based nearest-centroid cell (argmax dot; centroids are unit, so
+    argmax dot == argmax cosine). Ties break to the LOWEST cell index
+    (array_position returns the first match) — the SQL twin must order
+    by (score DESC, cell ASC)."""
+    scores = _centroid_scores(vec_col, centroids)
+    return F.array_position(scores, F.array_max(scores)).cast("int")
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus rows land in their nearest cell; each query
+    probes its n_probe best cells; exact cosine ranks the candidates.
+    One broadcast of (query, cell) probes — the corpus never shuffles;
+    candidate volume ~ corpus * n_probe / n_cells. Query-side cell
+    ranking uses the SAME fold arithmetic as corpus assignment, so a
+    query agrees with its own cell."""
+    if centroids is None:
+        centroids = pseudo_random_centroids(probe_dim(emb, vec_col), n_cells)
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "__scores", _centroid_scores(F.col("v"), centroids)
+    )
+    assigned = base.withColumn(
+        "cell", F.array_position(F.col("__scores"), F.array_max("__scores")).cast("int")
+    ).drop("__scores")
+    probes = (
+        base.filter(F.col("id").isin(query_ids))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.posexplode("__scores").alias("cidx", "s"),
+        )
+        .withColumn("cell", (F.col("cidx") + 1).cast("int"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(F.col("id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -292,3 +292,41 @@ def test_embedding_lsh_bands_amplify_recall(spark):
     recall_3 = len(three & exact) / len(exact)
     assert recall_3 > recall_1
     assert recall_3 >= 0.9, (recall_1, recall_3)
+
+
+def test_ivf_ann_trained_and_random_centroids(spark):
+    """IVF ANN: (a) exact-cosine verified candidates only (subset of the
+    brute-force top-k universe), (b) trained spherical-k-means cells
+    recall at least as well as the same-size pseudo-random cells on a
+    clustered corpus, (c) determinism (two runs identical)."""
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        pseudo_random_centroids,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qids = [0, 1, 2]
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, qids, k=5).collect()}
+
+    rand_c = pseudo_random_centroids(64, 8, seed=7)
+    rand_hits = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, qids, k=5, n_probe=3, centroids=rand_c).collect()
+    }
+    trained_c = train_ivf_centroids(emb, n_cells=8, sample_size=256)
+    trained_hits = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, qids, k=5, n_probe=3, centroids=trained_c).collect()
+    }
+    assert len(trained_hits & exact) >= len(rand_hits & exact)
+    assert len(trained_hits & exact) >= 6  # meaningful recall on 15 truth pairs
+
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, qids, k=5, n_probe=3, centroids=trained_c).collect()
+    }
+    assert again == trained_hits
