@@ -539,6 +539,34 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 sampling at rate 0.2 on doc_id — the sample a
+    resumable pipeline must be able to reproduce exactly."""
+    from rml_utils_processor_ts_spark.operators.corpus import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, "doc_id", rate=0.2).select("doc_id")
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap (window 40, stride 30):
+    training-sample prep; one explode, zero shuffles."""
+    from rml_utils_processor_ts_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, window=40, stride=30)
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-minute gap) +
+    per-session rollup — lag/running-sum windows sharing one user-key
+    Exchange."""
+    from rml_utils_processor_ts_spark.operators.corpus import session_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, gap_minutes=30)
+
+
 def q_kafka_records_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 oracle gate (r02 verdict "Next round" #3): the Kafka
     value->records transform on a static Kafka-shaped frame — binary
@@ -728,6 +756,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize_dedup": q_url_normalize_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "quality_filter": q_quality_filter,
+    "sample_by_hash": q_sample_by_hash,
+    "doc_chunking": q_doc_chunking,
+    "sessionization": q_sessionization,
     "simhash": q_simhash,
     "multimodal_features": q_multimodal_features,
     "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -1345,6 +1376,44 @@ def oracle_sql() -> dict[str, str]:
                    AND symbol_ratio <= 0.1
                    AND stopword_ratio >= 0.001 AS INTEGER) AS keep
             FROM m
+        """,
+        "sample_by_hash": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        """,
+        "doc_chunking": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), c AS (
+              SELECT doc_id, w, len(w) AS n,
+                     CASE WHEN len(w) <= 40 THEN 1
+                          ELSE 1 + CAST(ceil((len(w) - 40) / 30.0) AS INT) END AS nc
+              FROM base
+            ), idx AS (
+              SELECT doc_id, w, n, unnest(range(nc)) AS chunk_idx FROM c
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   array_to_string(w[chunk_idx * 30 + 1 : least(chunk_idx * 30 + 40, n)], ' ') AS chunk_text,
+                   least(chunk_idx * 30 + 40, n) - (chunk_idx * 30 + 1) + 1 AS n_chunk_tokens
+            FROM idx
+        """,
+        "sessionization": """
+            WITH s AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s2 AS (
+              SELECT user_id, ts, value,
+                     sum(new) OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+              FROM s
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   round(max(epoch(ts)) - min(epoch(ts)), 3) AS span_sec,
+                   round(sum(value), 4) AS total_value
+            FROM s2 GROUP BY 1, 2
         """,
         "kafka_records_extract": """
             SELECT 'nations' AS topic,

@@ -1,0 +1,107 @@
+"""Corpus-shaping operators for training-data pipelines: deterministic
+sampling, fixed-window document chunking, and event sessionization.
+
+All pure Column expressions with DuckDB-portable formulations (the
+sampler hashes with md5 — stable across engines — instead of
+engine-specific hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, seed: str = "s1") -> DataFrame:
+    """Deterministic content-hash sampling: a row is kept iff the first
+    4 hex chars of md5(seed|key) fall below rate * 16^4. Stable across
+    runs, engines, and partitionings (never ``rand()`` — resumability
+    requires the same sample every time); the same key always lands on
+    the same side, so per-entity sampling stays consistent across
+    tables sharing the key."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return df
+    # same-length lowercase hex compares lexicographically == numerically
+    # (mixed lengths would not: 'a000' > '10000' as strings)
+    threshold = format(min(int(rate * 0x10000), 0xFFFF), "04x")
+    bucket = F.substring(F.md5(F.concat(F.lit(seed + "|"), F.col(key_col).cast("string"))), 1, 4)
+    return df.filter(bucket < F.lit(threshold))
+
+
+def chunk_count(n_tokens: Column, window: int, stride: int) -> Column:
+    return F.when(n_tokens <= window, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n_tokens - window) / F.lit(float(stride)))).cast("int")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 100,
+    stride: int = 80,
+) -> DataFrame:
+    """Fixed-window token chunking with overlap (training-sample prep):
+    whitespace tokens, chunks of ``window`` tokens every ``stride``
+    (stride < window = overlapping context). One explode per document —
+    no shuffle at all; chunk ids are (doc_id, chunk_idx), deterministic.
+    Output: doc_id, chunk_idx, chunk_text, n_chunk_tokens."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), chunk_count(n, window, stride) - 1),
+        lambda i: F.slice(toks, i * stride + 1, window),
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "chunk_toks")
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").alias("n_chunk_tokens"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. The classic two-window
+    formulation — lag to flag session starts, running sum to number
+    them — shuffles ONCE on the user key (both windows share the
+    partitioning; Catalyst plans a single Exchange). Session id is
+    (user, session_idx), deterministic."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > gap_minutes * 60)
+    ).cast("int")
+    return events.withColumn("__new", is_new).withColumn(
+        "session_idx", F.sum("__new").over(w)
+    ).drop("__new")
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup: event count, span seconds, total value."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")), 3
+        ).alias("span_sec"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -1,0 +1,53 @@
+"""Corpus-shaping operators: deterministic sampling, chunking windows,
+gap sessionization."""
+
+from pyspark.sql import functions as F
+
+from rml_utils_processor_ts_spark.operators.corpus import (
+    chunk_documents,
+    hash_sample,
+    session_stats,
+    sessionize,
+)
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in hash_sample(df, "k", 0.2).collect()}
+    s2 = {r["k"] for r in hash_sample(df, "k", 0.2).collect()}
+    assert s1 == s2  # same sample every run
+    assert 0.17 < len(s1) / 10_000 < 0.23  # ~rate
+    # monotone: a higher rate strictly contains a lower one (same seed)
+    s_half = {r["k"] for r in hash_sample(df, "k", 0.5).collect()}
+    assert s1 <= s_half
+    # rate 1.0 keeps everything (hex-compare edge case)
+    assert hash_sample(df, "k", 1.0).count() == 10_000
+
+
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in chunk_documents(df, window=10, stride=5).collect()}
+    # 25 tokens, window 10 stride 5 -> 1 + ceil(15/5) = 4 chunks
+    assert sorted(i for d, i in rows if d == 1) == [0, 1, 2, 3]
+    assert rows[(1, 0)]["chunk_text"].startswith("w0 w1") and rows[(1, 0)]["n_chunk_tokens"] == 10
+    assert rows[(1, 1)]["chunk_text"].startswith("w5")  # overlap of 5
+    assert rows[(1, 3)]["n_chunk_tokens"] == 10  # 15..24
+    assert rows[(2, 0)]["chunk_text"] == "short doc" and rows[(2, 0)]["n_chunk_tokens"] == 2
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "a", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 7, "a", 2.0, "{}"),   # same session (10 min)
+        (3, "2024-01-01 11:00:00", 7, "a", 4.0, "{}"),   # new session (50 min gap)
+        (4, "2024-01-01 10:05:00", 9, "a", 8.0, "{}"),   # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    s = {(r["event_id"]): r["session_idx"] for r in sessionize(ev).collect()}
+    assert s[1] == s[2] == 1 and s[3] == 2 and s[4] == 1
+    stats = {(r["user_id"], r["session_idx"]): r for r in session_stats(ev).collect()}
+    assert stats[(7, 1)]["n_events"] == 2 and stats[(7, 1)]["span_sec"] == 600.0
+    assert stats[(7, 2)]["total_value"] == 4.0
