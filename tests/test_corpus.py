@@ -51,3 +51,22 @@ def test_sessionize_gap_semantics(spark):
     stats = {(r["user_id"], r["session_idx"]): r for r in session_stats(ev).collect()}
     assert stats[(7, 1)]["n_events"] == 2 and stats[(7, 1)]["span_sec"] == 600.0
     assert stats[(7, 2)]["total_value"] == 4.0
+
+
+def test_corpus_plan_shapes(spark):
+    """Shuffle discipline, asserted on the physical plan: chunking is
+    explode-only (zero Exchanges); sessionization's two windows share
+    ONE user-key Exchange; hash sampling pushes no shuffle at all."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    chunk_plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in chunk_plan
+
+    sample_plan = hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in sample_plan
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "a", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sess_plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    assert sess_plan.count("Exchange hashpartitioning") == 1, sess_plan
