@@ -67,6 +67,14 @@ def chunk_documents(
     )
 
 
+def _epoch(c: Column) -> Column:
+    """Epoch seconds (fractional) — via an explicit TIMESTAMP cast first:
+    parquet timestamps load as TIMESTAMP_NTZ, which ANSI mode refuses to
+    cast straight to double. Offsets cancel in every use here (gaps and
+    spans), so the session-timezone interpretation is harmless."""
+    return c.cast("timestamp").cast("double")
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
@@ -82,8 +90,7 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = (
-        prev_ts.isNull()
-        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > gap_minutes * 60)
+        prev_ts.isNull() | (_epoch(F.col(ts_col)) - _epoch(prev_ts) > gap_minutes * 60)
     ).cast("int")
     return events.withColumn("__new", is_new).withColumn(
         "session_idx", F.sum("__new").over(w)
@@ -100,8 +107,8 @@ def session_stats(
     s = sessionize(events, user_col, ts_col, gap_minutes)
     return s.groupBy(user_col, "session_idx").agg(
         F.count("*").alias("n_events"),
-        F.round(
-            F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")), 3
-        ).alias("span_sec"),
+        F.round(F.max(_epoch(F.col(ts_col))) - F.min(_epoch(F.col(ts_col))), 3).alias(
+            "span_sec"
+        ),
         F.round(F.sum("value"), 4).alias("total_value"),
     )

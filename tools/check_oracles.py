@@ -90,11 +90,23 @@ def main(sf_dir: str, only: list[str] | None = None):
             failures.append(name)
             continue
         print(f"PASS  {name}: {len(sv)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    checked = [n for n in queries if not only or n in only]
+    # the denominator is what actually RAN — counting skipped queries as
+    # passes once hid a filtered-out failure behind an "all pass" line
+    print(f"\n{len(checked) - len(failures)}/{len(checked)} checked pass"
+          + (f" (of {len(queries)} total)" if only else ""))
+    if only:
+        missing = [n for n in only if n not in queries]
+        if missing:
+            print(f"WARNING: unknown query names ignored: {missing}")
+            return 1
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    raise SystemExit(main(sf, only))
+    # every arg after the sf dir is a query name (commas also accepted) —
+    # argv[3:] used to be silently IGNORED, which skipped checks while
+    # printing an all-pass summary
+    names = [n for a in sys.argv[2:] for n in a.split(",") if n]
+    raise SystemExit(main(sf, names or None))
