@@ -112,7 +112,13 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
     # * convergence = edge-set fixpoint, checked by (count, hash-sum)
     #   signature — one cheap aggregate per round, no extra join.
     for _ in range(max_iterations):
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # no distinct on the symmetrized set: e is already distinct with
+        # u != v, so sym contains each direction exactly once — there is
+        # nothing to dedup (the min aggregate and e2's distinct would
+        # absorb dups anyway). Dropping it removes one full-width
+        # shuffle per round; results verified identical (golden pytest +
+        # sf0.1 component count + 4.1M-edge stress).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: (v, min(Γ(u) ∪ {u})) for every neighbor v > u
         mn = _min_neighbor(sym.union(sym.select(F.col("u"), F.col("u").alias("v"))))
         e2 = _materialize(
