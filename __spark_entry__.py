@@ -1403,7 +1403,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT user_id, ts, value,
                      CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new
+                          OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s2 AS (
               SELECT user_id, ts, value,

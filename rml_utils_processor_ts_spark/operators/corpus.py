@@ -82,7 +82,9 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user's
-    inter-event gap exceeds ``gap_minutes``. The classic two-window
+    inter-event gap reaches ``gap_minutes`` (>= — the same boundary rule
+    as Spark's builtin session_window, which merges an event only while
+    its gap is strictly inside the duration). The classic two-window
     formulation — lag to flag session starts, running sum to number
     them — shuffles ONCE on the user key (both windows share the
     partitioning; Catalyst plans a single Exchange). Session id is
@@ -90,11 +92,42 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = (
-        prev_ts.isNull() | (_epoch(F.col(ts_col)) - _epoch(prev_ts) > gap_minutes * 60)
+        prev_ts.isNull() | (_epoch(F.col(ts_col)) - _epoch(prev_ts) >= gap_minutes * 60)
     ).cast("int")
     return events.withColumn("__new", is_new).withColumn(
         "session_idx", F.sum("__new").over(w)
     ).drop("__new")
+
+
+def session_stats_builtin(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """The same rollup via Spark's builtin ``session_window`` — the
+    streaming-capable form (with ``withWatermark`` it runs unchanged on
+    a stream; parquet NTZ timestamps are cast to TIMESTAMP first, which
+    watermarks require). Kept alongside the window formulation so the
+    two validate each other (tests assert identical session counts and
+    per-session aggregates)."""
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        events.withColumn("__ts", ts)
+        .groupBy(user_col, F.session_window("__ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max(F.col("__ts").cast("double")) - F.min(F.col("__ts").cast("double")), 3).alias("span_sec"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "span_sec",
+            "total_value",
+        )
+    )
 
 
 def session_stats(

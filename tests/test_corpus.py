@@ -70,3 +70,22 @@ def test_corpus_plan_shapes(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     sess_plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
     assert sess_plan.count("Exchange hashpartitioning") == 1, sess_plan
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """Two independent formulations of the same semantics — the lag +
+    running-sum windows vs Spark's builtin session_window — must agree
+    on every session's (n_events, span, total_value) over real data."""
+    from rml_utils_processor_ts_spark.operators.corpus import session_stats_builtin
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ours = sorted(
+        (r["user_id"], r["n_events"], r["span_sec"], r["total_value"])
+        for r in session_stats(events, gap_minutes=30).collect()
+    )
+    builtin = sorted(
+        (r["user_id"], r["n_events"], r["span_sec"], r["total_value"])
+        for r in session_stats_builtin(events, gap_minutes=30).collect()
+    )
+    assert ours == builtin
+    assert len(ours) > 100  # real session structure, not one blob
