@@ -86,7 +86,10 @@ def normalize_url(url: Column) -> Column:
     path = F.regexp_replace(url_path(url), r"/+$", "")
     q = _filtered_query(url)
     q_part = F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    built = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    # scheme-less / malformed input stays opaque rather than collapsing
+    # to '://' (which would alias every malformed URL into one dedup key)
+    return F.when((scheme == "") | (host == ""), url).otherwise(built)
 
 
 def url_profile(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -22,6 +22,11 @@ def test_normalize_url_edge_cases(spark):
         ("https://ex.com/p?a=1&fbclid=zzz&b=2", "https://ex.com/p?a=1&b=2"),
         ("https://Sub.Deep.Ex.Co.Uk/P", "https://sub.deep.ex.co.uk/P"),  # path case kept
     ]
+    cases += [
+        # malformed / scheme-less inputs stay opaque, never collapse to '://'
+        ("example.com/no-scheme", "example.com/no-scheme"),
+        ("not a url at all", "not a url at all"),
+    ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
     assert got == [e for _, e in cases]
