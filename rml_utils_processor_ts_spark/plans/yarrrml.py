@@ -220,14 +220,20 @@ def _conditional_object(obj: TermMap, cond_spec: dict, prefixes: dict[str, str],
     return wrapped
 
 
-def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
+def _parse_po(entry, prefixes: dict[str, str], name: str) -> list[PredicateObjectMap]:
+    """One po entry -> POMs. Per the yarrrml spec, ``p``/``o`` may each
+    be a LIST (multiple predicates x multiple objects = their cartesian
+    product of POMs — the @rmlio parser's expansion); the compact list
+    form stays ``[p, o]`` / ``[p, o, datatype-or-lang]``, and a list in
+    its object slot means multiple objects. ``condition:`` and
+    ``inversepredicates`` apply to every generated POM."""
     condition = None
     inverse_pred = None
     if isinstance(entry, dict):
         preds = entry.get("p") or entry.get("predicate") or entry.get("predicates")
         objs = entry.get("o") or entry.get("object") or entry.get("objects")
-        pred_val = preds[0] if isinstance(preds, list) else preds
-        obj_val = objs[0] if isinstance(objs, list) else objs
+        pred_vals = preds if isinstance(preds, list) else [preds]
+        obj_vals = objs if isinstance(objs, list) else [objs]
         condition = entry.get("condition")
         inv_val = entry.get("inversepredicates") or entry.get("inversepredicate")
         if inv_val is not None:
@@ -237,17 +243,32 @@ def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
                 constant=_expand_prefixed(str(inv_val), prefixes), constant_is_iri=True
             )
     elif isinstance(entry, list) and len(entry) >= 2:
-        pred_val, obj_val = entry[0], entry[1]
+        pred_vals = entry[0] if isinstance(entry[0], list) else [entry[0]]
         if len(entry) == 3:
-            obj_val = [entry[1], entry[2]]
+            obj_vals = [[entry[1], entry[2]]]  # [p, value, datatype-or-lang]
+        elif isinstance(entry[1], list):
+            obj_vals = entry[1]
+        else:
+            obj_vals = [entry[1]]
     else:
         raise YarrrmlError(f"mapping {name}: malformed po entry {entry!r}")
 
-    if pred_val == "a":
-        pred = TermMap(constant=voc.RDF_TYPE, constant_is_iri=True)
-    else:
-        pred = TermMap(constant=_expand_prefixed(str(pred_val), prefixes), constant_is_iri=True)
+    out: list[PredicateObjectMap] = []
+    for pred_val in pred_vals:
+        if pred_val == "a":
+            pred = TermMap(constant=voc.RDF_TYPE, constant_is_iri=True)
+        else:
+            pred = TermMap(constant=_expand_prefixed(str(pred_val), prefixes), constant_is_iri=True)
+        for obj_val in obj_vals:
+            out.append(
+                _build_pom(pred, pred_val, obj_val, condition, inverse_pred, prefixes, name)
+            )
+    return out
 
+
+def _build_pom(
+    pred: TermMap, pred_val, obj_val, condition, inverse_pred, prefixes: dict[str, str], name: str
+) -> PredicateObjectMap:
     # referencing object map: {mapping: other, condition: {...}}
     if isinstance(obj_val, dict) and "mapping" in obj_val:
         joins: list[JoinCondition] = []
@@ -284,6 +305,13 @@ def _parse_po(entry, prefixes: dict[str, str], name: str) -> PredicateObjectMap:
             datatype = _expand_prefixed(annotation, prefixes)
     if isinstance(obj_val, dict) and ("function" in obj_val or "fn" in obj_val):
         obj = TermMap(function=_to_function(obj_val, prefixes, name))
+    elif isinstance(obj_val, dict) and "value" in obj_val:
+        # spec object dict: {value: ..., datatype: ...} / {value, language}
+        obj = _to_template(str(obj_val["value"]), prefixes)
+        if obj_val.get("datatype"):
+            datatype = _expand_prefixed(str(obj_val["datatype"]), prefixes)
+        if obj_val.get("language"):
+            language = str(obj_val["language"])
     else:
         obj = _to_template(str(obj_val), prefixes)
     if datatype:
@@ -394,7 +422,11 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
                     tm_name += f"_{i}"
                 if len(logical_targets) > 1:
                     tm_name += f"_t{j}"
-                poms = [_parse_po(e, prefixes, name) for e in (m.get("po") or m.get("predicateobjects") or [])]
+                poms = [
+                    pom
+                    for e in (m.get("po") or m.get("predicateobjects") or [])
+                    for pom in _parse_po(e, prefixes, name)
+                ]
                 tms.append(
                     TriplesMap(
                         name=tm_name,

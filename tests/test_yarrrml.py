@@ -391,3 +391,36 @@ mappings:
         (EX + "child/1", EX + "partOf", EX + "parent/10"),
         (EX + "parent/10", EX + "hasPart", EX + "child/1"),
     }
+
+
+def test_yarrrml_multiple_predicates_and_objects(spark):
+    """p/o lists expand to their cartesian product of POMs (the @rmlio
+    parser expansion); object dicts carry datatype/language."""
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+    xsd: "http://www.w3.org/2001/XMLSchema#"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - p: [ex:name, ex:label]
+              o: [$(name), $(alt)]
+            - p: ex:size
+              o:
+                  value: $(n)
+                  datatype: xsd:integer
+            - [ex:tags, [$(t1), $(t2)]]
+"""
+    data = '[{"id": "1", "name": "A", "alt": "B", "n": "7", "t1": "x", "t2": "y"}]'
+    plan = yarrrml_to_plan(doc, {"d.json": "inline:" + data})
+    assert len(plan.triples_maps[0].predicate_object_maps) == 2 * 2 + 1 + 2
+    res = PlanExecutor(spark).execute(plan)
+    got = {(r["p"].rsplit("/", 1)[-1], r["o"], r["o_datatype"]) for r in res.triples.collect()}
+    assert got == {
+        ("name", "A", None), ("name", "B", None),
+        ("label", "A", None), ("label", "B", None),
+        ("size", "7", "http://www.w3.org/2001/XMLSchema#integer"),
+        ("tags", "x", None), ("tags", "y", None),
+    }
