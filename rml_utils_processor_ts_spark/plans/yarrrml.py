@@ -407,41 +407,45 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
         logical_targets = tm_targets or [None]
 
         graph_val = m.get("graph") or m.get("graphs")
-        if isinstance(graph_val, list):
-            graph_val = graph_val[0]
+        # graphs lists mean the mapping's quads land in EACH graph
+        # (spec semantics) — one TM per graph, not first-graph-wins
+        graph_vals = graph_val if isinstance(graph_val, list) else [graph_val]
 
         # a mapping with N sources expands to N TriplesMaps over the same
         # subject/po definitions (the @rmlio/yarrrml-parser expansion);
-        # M declared subject targets expand again to M TMs per source
+        # M declared subject targets and G declared graphs expand again
         for i, src_entry in enumerate(sources):
             for j, logical_target in enumerate(logical_targets):
-                ls = _parse_source(src_entry, name)
-                ls.source = bindings.get(ls.source, ls.source)
-                tm_name = f"urn:yarrrml:{name}"
-                if len(sources) > 1:
-                    tm_name += f"_{i}"
-                if len(logical_targets) > 1:
-                    tm_name += f"_t{j}"
-                poms = [
-                    pom
-                    for e in (m.get("po") or m.get("predicateobjects") or [])
-                    for pom in _parse_po(e, prefixes, name)
-                ]
-                tms.append(
-                    TriplesMap(
-                        name=tm_name,
-                        logical_source=ls,
-                        subject_map=SubjectMap(
-                            term_map=subj_tm,
-                            graph_map=_to_template(str(graph_val), prefixes) if graph_val is not None else None,
-                            logical_target=logical_target,
-                        ),
-                        predicate_object_maps=poms,
-                        label=str(name),
+                for gidx, gv in enumerate(graph_vals):
+                    ls = _parse_source(src_entry, name)
+                    ls.source = bindings.get(ls.source, ls.source)
+                    tm_name = f"urn:yarrrml:{name}"
+                    if len(sources) > 1:
+                        tm_name += f"_{i}"
+                    if len(logical_targets) > 1:
+                        tm_name += f"_t{j}"
+                    if len(graph_vals) > 1:
+                        tm_name += f"_g{gidx}"
+                    poms = [
+                        pom
+                        for e in (m.get("po") or m.get("predicateobjects") or [])
+                        for pom in _parse_po(e, prefixes, name)
+                    ]
+                    tms.append(
+                        TriplesMap(
+                            name=tm_name,
+                            logical_source=ls,
+                            subject_map=SubjectMap(
+                                term_map=subj_tm,
+                                graph_map=_to_template(str(gv), prefixes) if gv is not None else None,
+                                logical_target=logical_target,
+                            ),
+                            predicate_object_maps=poms,
+                            label=str(name),
+                        )
                     )
-                )
-                by_map_name.setdefault(f"urn:yarrrml:{name}", []).append(tm_name)
-                base_name_of[tm_name] = f"urn:yarrrml:{name}"
+                    by_map_name.setdefault(f"urn:yarrrml:{name}", []).append(tm_name)
+                    base_name_of[tm_name] = f"urn:yarrrml:{name}"
 
     # yarrrml ``inversepredicates``: the po also states the INVERSE
     # relation (object, inv_pred, subject). Plain objects synthesize a

@@ -424,3 +424,25 @@ mappings:
         ("size", "7", "http://www.w3.org/2001/XMLSchema#integer"),
         ("tags", "x", None), ("tags", "y", None),
     }
+
+
+def test_yarrrml_multiple_graphs(spark):
+    """graphs: list => the mapping's quads land in EACH graph."""
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - [ex:name, $(name)]
+        graphs: [ex:g1, ex:g2]
+"""
+    plan = yarrrml_to_plan(doc, {"d.json": 'inline:[{"id": "1", "name": "A"}]'})
+    res = PlanExecutor(spark).execute(plan)
+    got = {(r["o"], r["g"]) for r in res.triples.collect()}
+    assert got == {
+        ("A", "http://example.org/g1"),
+        ("A", "http://example.org/g2"),
+    }
