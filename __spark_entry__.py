@@ -1401,18 +1401,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionization": """
             WITH s AS (
-              SELECT user_id, ts, value,
+              SELECT user_id, ts, value, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
                           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s2 AS (
               SELECT user_id, ts, value,
-                     sum(new) OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+                     sum(new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
               FROM s
             )
             SELECT user_id, session_idx, count(*) AS n_events,
-                   round(max(epoch(ts)) - min(epoch(ts)), 3) AS span_sec,
-                   round(sum(value), 4) AS total_value
+                   (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS span_sec,
+                   sum(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS total_value
             FROM s2 GROUP BY 1, 2
         """,
         "kafka_records_extract": """

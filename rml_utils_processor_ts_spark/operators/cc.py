@@ -47,10 +47,20 @@ def constraint_propagation_disabled(spark):
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
-    """Undirected edge set with (u < v), self-loops removed."""
+    """Undirected edge set kept in the single (u < v) orientation,
+    self-loops removed. Only one direction survives: the loop's ``sym``
+    rebuilds both directions every round anyway, so emitting a
+    symmetric set here made round 1 carry every edge twice (ADVICE r3 —
+    correctness was absorbed by the min-agg/distinct, but round-1
+    large-star processed double volume)."""
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    return e.filter(F.col("u") != F.col("v")).distinct()
+    lo = F.least(F.col("u"), F.col("v"))
+    hi = F.greatest(F.col("u"), F.col("v"))
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(lo.alias("u"), hi.alias("v"))
+        .distinct()
+    )
 
 
 def _materialize(df: DataFrame) -> DataFrame:

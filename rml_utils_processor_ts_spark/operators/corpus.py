@@ -80,6 +80,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user's
     inter-event gap reaches ``gap_minutes`` (>= — the same boundary rule
@@ -88,8 +89,19 @@ def sessionize(
     formulation — lag to flag session starts, running sum to number
     them — shuffles ONCE on the user key (both windows share the
     partitioning; Catalyst plans a single Exchange). Session id is
-    (user, session_idx), deterministic."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    (user, session_idx), deterministic.
+
+    ``order_col`` is a tie-break column for events sharing a timestamp
+    (required for a deterministic session numbering). Default: use an
+    ``event_id`` column when the frame has one, else order by ``ts_col``
+    alone (callers with same-timestamp duplicates should pass their own
+    unique column explicitly)."""
+    if order_col is None and "event_id" in events.columns:
+        order_col = "event_id"
+    if order_col is not None and order_col not in events.columns:
+        raise ValueError(f"order_col {order_col!r} not in frame columns {events.columns}")
+    order = [ts_col] + ([order_col] if order_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = (
         prev_ts.isNull() | (_epoch(F.col(ts_col)) - _epoch(prev_ts) >= gap_minutes * 60)
@@ -99,27 +111,45 @@ def sessionize(
     ).drop("__new")
 
 
+def _session_aggs(ts: Column, value_col: str) -> list[Column]:
+    """Engine-stable session aggregates. Floating-point sums are
+    order-dependent in the last ulp, so a cross-engine value hash can
+    flip on partitioning alone; instead (a) the value total sums exact
+    fixed-point longs (``round(value*10000)``) and divides ONCE at the
+    end — one bigint-sum plus one division is bit-identical in any
+    engine/order — and (b) the span subtracts integer epoch-microseconds
+    (``unix_micros``) before a single division. DuckDB twin:
+    ``sum(CAST(round(value*10000,0) AS BIGINT)) / 10000.0`` and
+    ``(max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0``."""
+    us = F.unix_micros(ts)
+    fixed = F.round(F.col(value_col) * F.lit(10000)).cast("long")
+    return [
+        F.count("*").alias("n_events"),
+        ((F.max(us) - F.min(us)) / F.lit(1000000.0)).alias("span_sec"),
+        (F.sum(fixed) / F.lit(10000.0)).alias("total_value"),
+    ]
+
+
 def session_stats_builtin(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    value_col: str = "value",
 ) -> DataFrame:
     """The same rollup via Spark's builtin ``session_window`` — the
     streaming-capable form (with ``withWatermark`` it runs unchanged on
     a stream; parquet NTZ timestamps are cast to TIMESTAMP first, which
     watermarks require). Kept alongside the window formulation so the
     two validate each other (tests assert identical session counts and
-    per-session aggregates)."""
+    per-session aggregates). Requires a numeric ``value_col`` column."""
+    if value_col not in events.columns:
+        raise ValueError(f"value_col {value_col!r} not in frame columns {events.columns}")
     ts = F.col(ts_col).cast("timestamp")
     return (
         events.withColumn("__ts", ts)
         .groupBy(user_col, F.session_window("__ts", f"{gap_minutes} minutes"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.max(F.col("__ts").cast("double")) - F.min(F.col("__ts").cast("double")), 3).alias("span_sec"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
+        .agg(*_session_aggs(F.col("__ts"), value_col))
         .select(
             user_col,
             F.col("session_window.start").alias("session_start"),
@@ -135,13 +165,16 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    value_col: str = "value",
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Per-session rollup: event count, span seconds, total value."""
-    s = sessionize(events, user_col, ts_col, gap_minutes)
+    """Per-session rollup: event count, span seconds, total value.
+    Requires a numeric ``value_col``; see ``sessionize`` for
+    ``order_col`` tie-break semantics and ``_session_aggs`` for why the
+    aggregates are fixed-point (cross-engine bit stability)."""
+    if value_col not in events.columns:
+        raise ValueError(f"value_col {value_col!r} not in frame columns {events.columns}")
+    s = sessionize(events, user_col, ts_col, gap_minutes, order_col=order_col)
     return s.groupBy(user_col, "session_idx").agg(
-        F.count("*").alias("n_events"),
-        F.round(F.max(_epoch(F.col(ts_col))) - F.min(_epoch(F.col(ts_col))), 3).alias(
-            "span_sec"
-        ),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        *_session_aggs(F.col(ts_col).cast("timestamp"), value_col)
     )

@@ -344,8 +344,13 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
         F.col("id_a").cast("string").alias("src"), F.col("id_b").cast("string").alias("dst")
     )
     comps = connected_components(edges)
-    numeric = isinstance(df.schema[id_col].dataType, T.NumericType)
-    node_key = F.col("node").cast("long") if numeric else F.col("node")
+    # cast the stringified CC node back to the id column's EXACT type:
+    # a hard-coded long truncated fractional double/decimal ids, so
+    # drop_id never matched and duplicates were silently retained
+    # (ADVICE r3)
+    id_type = df.schema[id_col].dataType
+    numeric = isinstance(id_type, T.NumericType)
+    node_key = F.col("node").cast(id_type) if numeric else F.col("node")
     keep = comps.groupBy("component").agg(F.min(node_key).alias("keep_id"))
     drop = (
         comps.join(keep, "component")

@@ -33,13 +33,33 @@ def url_scheme(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
 
 
+def _url_hostport(url: Column) -> Column:
+    """Authority with any userinfo prefix stripped. The host may not
+    contain '@', so everything up to the LAST '@' is userinfo
+    (``http://alice:pw@example.com/x`` must yield host ``example.com``,
+    not ``alice`` — a bug that silently merged unrelated documents in
+    url_dedup_groups)."""
+    return F.regexp_replace(F.regexp_extract(url, _HOSTPORT_RE, 1), r"^.*@", "")
+
+
 def url_host(url: Column) -> Column:
-    """Lowercased host without the port."""
-    return F.lower(F.regexp_extract(F.regexp_extract(url, _HOSTPORT_RE, 1), r"^([^:]+)", 1))
+    """Lowercased host without the port. Bracketed IPv6 literals keep
+    their brackets (``[::1]``) so ':' inside the address is never
+    mistaken for a port separator and normalize_url can rebuild a valid
+    authority."""
+    hp = _url_hostport(url)
+    return F.lower(
+        F.when(hp.startswith("["), F.regexp_extract(hp, r"^(\[[^\]]*\])", 1)).otherwise(
+            F.regexp_extract(hp, r"^([^:]+)", 1)
+        )
+    )
 
 
 def url_port(url: Column) -> Column:
-    return F.regexp_extract(F.regexp_extract(url, _HOSTPORT_RE, 1), r":([0-9]+)$", 1)
+    hp = _url_hostport(url)
+    return F.when(
+        hp.startswith("["), F.regexp_extract(hp, r"^\[[^\]]*\]:([0-9]+)$", 1)
+    ).otherwise(F.regexp_extract(hp, r"^[^:]*:([0-9]+)$", 1))
 
 
 def url_path(url: Column) -> Column:

@@ -455,13 +455,26 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
     # the child mapping with the join condition swapped.
     tm_by_name = {tm.name: tm for tm in tms}
     extra_tms: list[TriplesMap] = []
+    # a child mapping expanded to N TMs (multi-source/target/graph) must
+    # add its inverse referencing POM to each parent ONCE per BASE
+    # mapping, not once per expanded TM — N identical inverse POMs per
+    # parent meant N^2 redundant joins and duplicate triples with
+    # dedupe disabled (ADVICE r3)
+    seen_inverse: set[tuple] = set()
     for tm in tms:
         for k, pom in enumerate(tm.predicate_object_maps):
             if pom.inverse_predicate is None:
                 continue
             inv = pom.inverse_predicate
             if pom.parent_triples_map is not None:
+                # TermMaps are plain dataclasses (unhashable); their
+                # repr is a content signature
+                jc_sig = tuple((repr(jc.parent), repr(jc.child)) for jc in pom.join_conditions)
                 for parent_name in by_map_name.get(pom.parent_triples_map, []):
+                    key = (parent_name, base_name_of[tm.name], repr(inv), jc_sig)
+                    if key in seen_inverse:
+                        continue
+                    seen_inverse.add(key)
                     tm_by_name[parent_name].predicate_object_maps.append(
                         PredicateObjectMap(
                             predicate=inv,

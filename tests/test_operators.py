@@ -81,6 +81,14 @@ def test_keep_canonical_string_ids(spark):
     npairs = spark.createDataFrame([(2, 10)], "id_a long, id_b long")
     assert {r["doc_id"] for r in keep_canonical(ndocs, npairs).collect()} == {2}
 
+    # fractional numeric ids round-trip through the CC string node in
+    # the id column's OWN type (ADVICE r3: a hard-coded long cast
+    # truncated 2.5 -> 2, so the anti-join never matched and the dup
+    # was silently retained)
+    fdocs = spark.createDataFrame([(2.5, "x"), (10.25, "x")], "doc_id double, text string")
+    fpairs = spark.createDataFrame([(2.5, 10.25)], "id_a double, id_b double")
+    assert {r["doc_id"] for r in keep_canonical(fdocs, fpairs).collect()} == {2.5}
+
 
 def test_minhash_lsh_finds_near_dups(spark):
     from rml_utils_processor_ts_spark.operators.dedup import minhash_dedup_pairs

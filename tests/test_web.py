@@ -32,6 +32,38 @@ def test_normalize_url_edge_cases(spark):
     assert got == [e for _, e in cases]
 
 
+def test_url_userinfo_and_ipv6(spark):
+    """Review fix (ADVICE r3): userinfo must not be mistaken for the
+    host (http://alice:pw@ex.com/x previously parsed host 'alice', so
+    url_dedup_groups merged unrelated documents), and bracketed IPv6
+    literals must keep ':' out of port parsing."""
+    from rml_utils_processor_ts_spark.operators.web import url_port
+
+    cases = [
+        # (url, host, port, canonical)
+        ("http://alice:pw@Example.COM/x", "example.com", "", "http://example.com/x"),
+        ("https://bob@ex.com:443/y/", "ex.com", "443", "https://ex.com/y"),
+        ("http://a%40b@ex.com:8080/z", "ex.com", "8080", "http://ex.com:8080/z"),
+        ("http://[2001:DB8::1]/p", "[2001:db8::1]", "", "http://[2001:db8::1]/p"),
+        ("http://[::1]:8080/p", "[::1]", "8080", "http://[::1]:8080/p"),
+        ("http://u:p@[::1]:80/p", "[::1]", "80", "http://[::1]/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    got = df.select(
+        url_host(F.col("url")).alias("h"),
+        url_port(F.col("url")).alias("p"),
+        normalize_url(F.col("url")).alias("n"),
+    ).collect()
+    for (u, h, p, n), r in zip(cases, got):
+        assert (r["h"], r["p"], r["n"]) == (h, p, n), u
+    # distinct userinfo-bearing URLs with different hosts never collapse
+    dd = spark.createDataFrame(
+        [(1, "http://alice@one.com/x"), (2, "http://alice@two.com/x")],
+        "doc_id long, url string",
+    )
+    assert url_dedup_groups(dd).count() == 2
+
+
 def test_registered_domain_and_host(spark):
     df = spark.createDataFrame([("https://A.B.Example.ORG:8443/x?y#z",)], "url string")
     row = df.select(

@@ -393,6 +393,68 @@ mappings:
     }
 
 
+def test_yarrrml_inverse_mapping_reference_no_duplicate_poms(spark):
+    """ADVICE r3: a child mapping expanded to N TMs (two sources here)
+    must add its inverse referencing POM to the parent once per BASE
+    mapping, not once per expanded TM — the N^2 duplicates produced
+    duplicate triples whenever executor dedupe is off."""
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    child:
+        sources:
+            - ["c1.json~jsonpath", "$.[*]"]
+            - ["c2.json~jsonpath", "$.[*]"]
+        s: ex:child/$(id)
+        po:
+            - p: ex:partOf
+              o:
+                mapping: parent
+                condition:
+                    function: equal
+                    parameters: [[str1, $(pid)], [str2, $(id)]]
+              inversepredicates: ex:hasPart
+    parent:
+        sources: [["p.json~jsonpath", "$.[*]"]]
+        s: ex:parent/$(id)
+        po:
+            - [ex:name, $(name)]
+"""
+    plan = yarrrml_to_plan(
+        doc,
+        {
+            "c1.json": 'inline:[{"id": "1", "pid": "10"}]',
+            "c2.json": 'inline:[{"id": "2", "pid": "10"}]',
+            "p.json": 'inline:[{"id": "10", "name": "X"}]',
+        },
+    )
+    parent_tms = [tm for tm in plan.triples_maps if tm.name.startswith("urn:yarrrml:parent")]
+    assert len(parent_tms) == 1
+    inv_poms = [
+        pom
+        for pom in parent_tms[0].predicate_object_maps
+        if pom.parent_triples_map is not None
+    ]
+    # one inverse referencing POM per (parent TM, child SOURCE TM): the
+    # child's two sources are distinct TMs the parent must join to reach
+    # both — but never duplicated per-expansion beyond that
+    assert len(inv_poms) == 2
+    assert len({(p.parent_triples_map, p.predicate.constant) for p in inv_poms}) == 2
+
+    res = PlanExecutor(spark, dedupe=False).execute(plan)
+    rel = sorted(
+        (r["s"], r["p"], r["o"])
+        for r in res.triples.collect()
+        if r["p"].endswith("hasPart")
+    )
+    EX = "http://example.org/"
+    assert rel == [
+        (EX + "parent/10", EX + "hasPart", EX + "child/1"),
+        (EX + "parent/10", EX + "hasPart", EX + "child/2"),
+    ]
+
+
 def test_yarrrml_multiple_predicates_and_objects(spark):
     """p/o lists expand to their cartesian product of POMs (the @rmlio
     parser expansion); object dicts carry datatype/language."""
