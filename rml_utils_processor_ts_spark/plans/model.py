@@ -133,6 +133,11 @@ class LogicalSource:
     payload_column: str = "text"
     # connector options (Kafka broker/topic/groupId, HTTP headers, ...)
     options: dict[str, str] = field(default_factory=dict)
+    # rml:query / rr:sqlQuery on a relational source: a SQL view over
+    # the bound table executed by spark.sql before reference projection
+    # (the reference delegates RDB sources to the Java jar,
+    # /root/reference/src/rml/rml.ts:136-147)
+    query: str | None = None
 
     def key(self) -> str:
         # the first three fields feed IncRML state-path hashing
@@ -144,6 +149,7 @@ class LogicalSource:
         return (
             f"{self.source}\x00{self.iterator or ''}\x00{self.kind}"
             f"\x00{self.delimiter}\x00{self.payload_column}\x00{opts}"
+            f"\x00{self.query or ''}"
         )
 
 

@@ -122,10 +122,35 @@ _FORMULATIONS = {
 
 def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> LogicalSource:
     src = g.object(node, voc.RML_SOURCE)
-    if src is None:
-        raise MappingParseError("LogicalSource without rml:source")
+    table_name = g.object(node, voc.RR_TABLE_NAME)
+    if src is None and table_name is None:
+        raise MappingParseError("LogicalSource without rml:source or rr:tableName")
     delim = ","
     options: dict[str, str] = {}
+    # relational sources: rml:query / rr:sqlQuery run via spark.sql over
+    # a temp view of the bound table; rr:tableName names both the view
+    # and (absent rml:source) the binding key — this closes the
+    # reference's RDB delegation (/root/reference/src/rml/rml.ts:136-147)
+    # without JDBC drivers
+    query = g.object(node, voc.RML_QUERY) or g.object(node, voc.RR_SQL_QUERY)
+    if table_name is not None:
+        options["table_name"] = table_name.value
+    if src is None:
+        location = bindings.get(table_name.value, table_name.value)
+        formulation = g.object(node, voc.RML_REFERENCE_FORMULATION)
+        kind = "table"
+        if formulation is not None:
+            if formulation.value not in _FORMULATIONS:
+                raise MappingParseError(f"unknown referenceFormulation {formulation.value}")
+            kind = _FORMULATIONS[formulation.value]
+        it = g.object(node, voc.RML_ITERATOR)
+        return LogicalSource(
+            source=location,
+            kind=kind,
+            iterator=it.value if it else None,
+            options=options,
+            query=query.value if query else None,
+        )
     src_types = {t.value for t in g.objects(src, voc.RDF_TYPE)} if src.kind in ("bnode", "iri") else set()
     if src.kind in ("bnode", "iri") and g.object(src, voc.CSVW + "url") is not None:
         # csvw:Table source with optional csvw:dialect/csvw:delimiter
@@ -193,6 +218,7 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
         iterator=it.value if it else None,
         delimiter=delim,
         options=options,
+        query=query.value if query else None,
     )
 
 

@@ -56,6 +56,12 @@ RML_LOGICAL_SOURCE_CLASS = RML + "LogicalSource"
 RML_SOURCE = RML + "source"
 RML_ITERATOR = RML + "iterator"
 RML_REFERENCE_FORMULATION = RML + "referenceFormulation"
+# relational logical sources: RML's rml:query plus R2RML's
+# rr:sqlQuery/rr:tableName (the reference hands these to the Java jar,
+# /root/reference/src/rml/rml.ts:136-147; we run them with spark.sql)
+RML_QUERY = RML + "query"
+RR_SQL_QUERY = RR + "sqlQuery"
+RR_TABLE_NAME = RR + "tableName"
 RML_REFERENCE = RML + "reference"
 RML_LOGICAL_TARGET = RML + "logicalTarget"
 RML_JOIN_CONDITION = RML + "joinCondition"

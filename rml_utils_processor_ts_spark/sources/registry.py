@@ -51,28 +51,57 @@ def ref_column_name(ref: str) -> str:
     return f"ref_{digest}"
 
 
+def _xml_findall(root, path: str) -> list:
+    """Evaluate an iterator path with ElementTree's XPath subset —
+    which already covers predicates (``[@id='x']``, ``[n]`` position,
+    ``[child]``, ``[child='text']``), multi-step paths, and ``*`` —
+    extended to the absolute (``/a/b``) and descendant (``//a[...]``)
+    forms RML iterators use by re-rooting under a synthetic parent: the
+    document root then matches ``.//...`` like any descendant (plain
+    ``root.findall('.//tag')`` would silently skip a root-level match).
+    The reference delegates full XPath to Saxon inside the Java jar
+    (ql:XPath, /root/reference/src/voc.ts:83); this covers the
+    predicated/multi-step surface real-world mappings use without a
+    native XPath engine in the container. Unsupported syntax (functions,
+    unions, ``..``-escapes) returns no matches rather than crashing the
+    executor."""
+    import xml.etree.ElementTree as ET
+
+    p = (path or "").strip()
+    if p in ("/*", "/", "$", ""):
+        return [root]
+    if p.startswith("//"):
+        p = ".//" + p[2:]
+    elif p.startswith("/"):
+        p = "." + p
+    else:
+        # relative iterator: children of the document root
+        try:
+            return root.findall(p)
+        except SyntaxError:
+            return []
+    synthetic = ET.Element("__synthetic_root__")
+    synthetic.append(root)
+    try:
+        return synthetic.findall(p)
+    except SyntaxError:
+        return []
+
+
 def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
-    """Evaluate an XPath-ish iterator + per-record references with stdlib
-    ElementTree (container has no lxml). Supports the reference-fixture
-    subset: iterator ``//name``; refs ``@attr``, ``child/@attr``,
-    ``child``, ``.`` (B2, /root/reference/test/rml.test.ts:37,42,76)."""
+    """Evaluate an XPath iterator + per-record references with stdlib
+    ElementTree (container has no lxml). Covers the reference-fixture
+    subset — iterator ``//name``; refs ``@attr``, ``child/@attr``,
+    ``child``, ``.`` (B2, /root/reference/test/rml.test.ts:37,42,76) —
+    plus ElementTree's predicate/multi-step XPath surface (see
+    ``_xml_findall``) and ``text()`` steps."""
     import xml.etree.ElementTree as ET
 
     try:
         root = ET.fromstring(doc)
     except ET.ParseError:
         return []
-    it = iterator or "/*"
-    if it.startswith("//"):
-        matches = root.iter(it[2:])
-        # ElementTree.iter skips the root itself only if tag mismatch; include root when it matches
-        matches = list(matches)
-        if root.tag == it[2:] and root not in matches:
-            matches = [root] + matches
-    elif it in ("/*", "/", "$"):
-        matches = [root]
-    else:
-        matches = root.findall("." + it if it.startswith("/") else it)
+    matches = _xml_findall(root, iterator or "/*")
     out = []
     for el in matches:
         rec = {}
@@ -82,20 +111,51 @@ def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
     return out
 
 
+_XML_ATTR_STEP_RE = None
+
+
 def _xml_eval_ref(el, ref: str):
     # XPath string() of an EXISTING element is "" even when it has no
     # text (empty-element references produce empty literals, matching
     # the from_xml fast path — the two paths mix per row, so they must
     # render identically); only a MISSING node yields null/no-triple.
+    import re
+
+    global _XML_ATTR_STEP_RE
+    if _XML_ATTR_STEP_RE is None:
+        # a final attribute step: anything, then '/@name' — the greedy
+        # prefix keeps '/@' inside predicates ([a/@b='x']) out of the
+        # attr group because the ref must END in a bare attribute name
+        _XML_ATTR_STEP_RE = re.compile(r"^(.*)/@([A-Za-z_][\w.-]*)$")
     if ref.startswith("@"):
         return el.get(ref[1:])
-    if ref == ".":
+    if ref in (".", "text()", "./text()"):
         return (el.text or "").strip()
-    if "/@" in ref:
-        path, _, attr = ref.rpartition("/@")
-        child = el.find(path)
+    r = ref
+    # descendant/absolute refs are relative to the record element
+    if r.startswith("//"):
+        r = ".//" + r[2:]
+    elif r.startswith("/"):
+        r = "." + r
+    if r.endswith("/text()"):
+        r = r[: -len("/text()")]
+        try:
+            child = el.find(r)
+        except SyntaxError:
+            return None
+        return (child.text or "").strip() if child is not None else None
+    m = _XML_ATTR_STEP_RE.match(r)
+    if m:
+        path, attr = m.group(1), m.group(2)
+        try:
+            child = el.find(path) if path not in (".", "") else el
+        except SyntaxError:
+            return None
         return child.get(attr) if child is not None else None
-    child = el.find(ref)
+    try:
+        child = el.find(r)
+    except SyntaxError:
+        return None
     if child is not None:
         return (child.text or "").strip()
     return None
@@ -394,7 +454,13 @@ def records_df(
     if src.startswith("kafka://") or ls.kind == "kafka":
         stream = kafka_stream_df(spark, ls)
         return kafka_records_df(stream, ls, refs, passthrough, doc_derived)
-    if doc_derived and (src.startswith("table:") or ls.kind in ("table", "csv")):
+    if (
+        doc_derived
+        and (src.startswith("table:") or ls.kind in ("table", "csv"))
+        # exception: rml:query + document formulation yields a real
+        # per-row payload the publisher regex can run over
+        and not (ls.query and ls.kind in ("xpath", "jsonpath"))
+    ):
         raise ValueError(
             f"doc_derived (publisher regex) needs a raw document payload; "
             f"source {src!r} of kind {ls.kind!r} has none — use a record "
@@ -403,6 +469,20 @@ def records_df(
     if src.startswith("table:") or ls.kind == "table":
         path = src[len("table:"):] if src.startswith("table:") else src
         df = spark.read.parquet(path)
+        if ls.query:
+            df = _run_source_query(spark, df, ls, path)
+            if ls.kind in ("xpath", "jsonpath"):
+                # rml:query + a document referenceFormulation: the query
+                # SELECTs a payload column (ls.payload_column, or the
+                # single/first output column) whose per-row documents
+                # then iterate like any document source
+                payload = (
+                    ls.payload_column if ls.payload_column in df.columns else df.columns[0]
+                )
+                docs = df.withColumn("doc", F.col(payload).cast("string"))
+                keep = [c for c in passthrough if c in docs.columns]
+                docs, keep = _apply_doc_derived(docs, "doc", doc_derived, keep)
+                return _iterate_docs_df(docs, "doc", ls, refs, keep)
         cols = []
         for ref in refs:
             if ref not in df.columns:
@@ -451,6 +531,35 @@ def records_df(
         docs, derived = _apply_doc_derived(docs, "doc", doc_derived, [])
         return _iterate_docs_df(docs, "doc", ls, refs, derived)
     raise ValueError(f"unsupported logical source kind {ls.kind!r} for {src!r}")
+
+
+def _source_view_name(ls: LogicalSource, path: str) -> str:
+    """The temp-view name an rml:query references: rr:tableName when
+    declared, else the source file's basename sans extension (so
+    ``.../nation.parquet`` is queried as ``nation``)."""
+    name = ls.options.get("table_name")
+    if name:
+        return name
+    base = os.path.basename(path.rstrip("/"))
+    return os.path.splitext(base)[0] or "src"
+
+
+def _run_source_query(spark: SparkSession, df: DataFrame, ls: LogicalSource, path: str) -> DataFrame:
+    """Execute an rml:query / rr:sqlQuery relational source: register
+    the bound table as a temp view and run the query with spark.sql —
+    Catalyst handles pushdown/pruning through the view, so the query is
+    as scan-efficient as a hand-built DataFrame chain. The reference
+    delegates these sources to the Java jar's RDB handling
+    (/root/reference/src/rml/rml.ts:136-147); here the 'database' IS the
+    Spark catalog."""
+    view = _source_view_name(ls, path)
+    df.createOrReplaceTempView(view)
+    try:
+        return spark.sql(ls.query)
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"rml:query on source {ls.source!r} failed (view {view!r}): {e}"
+        ) from e
 
 
 def kafka_source_options(ls: LogicalSource) -> dict[str, str]:
