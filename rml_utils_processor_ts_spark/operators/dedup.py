@@ -269,7 +269,7 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_bands: int = 1,
     dim: int | None = None,
     seed: int = 42,
@@ -289,10 +289,25 @@ def embedding_neardup_pairs_lsh(
     OR-style (candidates unioned across bands, deduped before verify):
     recall = 1 - (1 - p^n_planes)^n_bands ~= 0.88 at 2 bands, 0.96 at 3,
     0.985 at 4 for the same pair. Band b's planes derive from
-    ``seed + 1000003*b`` (band 0 == the single-band behavior)."""
-    from .similarity import _dot, _hyperplanes, _norm, lsh_bucket_column, probe_dim
+    ``seed + 1000003*b`` (band 0 == the single-band behavior).
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (similarity.derive_n_planes — VERDICT r3 #4): the explicit default
+    of 4 is TEST-SCALE (16 buckets); the per-bucket self-join is
+    quadratic in n/2^planes, so corpus-scale callers must either pass
+    planes sized to their corpus or pass None to have them derived."""
+    from .similarity import (
+        _dot,
+        _hyperplanes,
+        _norm,
+        derive_n_planes,
+        lsh_bucket_column,
+        probe_dim,
+    )
 
     dim = probe_dim(emb, vec_col) if dim is None else dim
+    if n_planes is None:
+        n_planes = derive_n_planes(emb.count())
     band_buckets = [
         F.struct(
             F.lit(band).alias("band"),

@@ -155,6 +155,57 @@ def test_ann_exact_vs_lsh_recall(spark):
     assert len(exact_set & approx_set) >= 2
 
 
+def test_derive_n_planes_scales_with_corpus():
+    """VERDICT r3 #4: plane counts derive from corpus size — buckets
+    stay near the target width instead of degenerating to all-pairs."""
+    from rml_utils_processor_ts_spark.operators.similarity import derive_n_planes
+
+    assert derive_n_planes(1_000) == 4  # clamped at the floor
+    assert derive_n_planes(100_000) == 7  # ceil(log2(100000/1024))
+    assert derive_n_planes(1_000_000) == 10
+    assert derive_n_planes(10**12) == 24  # clamped at the cap
+    # monotone in n
+    counts = [derive_n_planes(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert counts == sorted(counts)
+
+
+def test_ann_multiprobe_recall_and_parity(spark):
+    """VERDICT r3 #5: margin-directed multi-probe — recall at n_probe=3
+    must dominate single-probe recall, candidates stay ~n_probe buckets,
+    and the Spark probe-bucket column matches the Python twin exactly
+    (a desync sends queries to wrong partitions with silent ~0 recall)."""
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        _hyperplanes,
+        cosine_topk,
+        lsh_ann_topk,
+        lsh_probe_buckets_column,
+        py_probe_buckets,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    queries = [0, 1, 2, 3, 4, 5, 6, 7]
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    one = {(r["query_id"], r["neighbor_id"]) for r in lsh_ann_topk(emb, queries, k=5, n_planes=6).collect()}
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, queries, k=5, n_planes=6, n_probe=3).collect()
+    }
+    assert len(exact & multi) >= len(exact & one)  # probing never hurts recall
+    assert len(multi) >= len(one)
+
+    # Spark/Python probe parity on real vectors
+    dim = len(emb.select("embedding").first()[0])
+    planes = _hyperplanes(dim, 6, 42)
+    rows = emb.limit(20).select(
+        "embedding", lsh_probe_buckets_column(F.col("embedding"), planes, 3).alias("p")
+    ).collect()
+    for r in rows:
+        assert list(r["p"]) == py_probe_buckets(list(r["embedding"]), planes, 3)
+
+
 def test_linking_exact_and_fuzzy(spark):
     from rml_utils_processor_ts_spark.operators.linking import link_exact, link_fuzzy
 

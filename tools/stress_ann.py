@@ -91,6 +91,38 @@ def main(n: int) -> None:
     )
     n_candidates = idx.filter(F.col("bucket").isin(q_buckets)).count()
 
+    # margin-directed multi-probe (VERDICT r3 #5): recall and candidate
+    # multiple vs single-probe, on the SAME index
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        _hyperplanes,
+        py_probe_buckets,
+    )
+
+    multiprobe = {}
+    meta = spark.read.json(idx_path + "/_lsh_meta").first().asDict()
+    planes = _hyperplanes(int(meta["dim"]), int(meta["n_planes"]), int(meta["seed"]))
+    q_vecs = [
+        (r["id"], list(r["v"]))
+        for r in idx.filter(F.col("id").isin(queries)).select("id", "v").collect()
+    ]
+    for n_probe in (2, 3):
+        t0 = time.time()
+        probed = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_index_topk(spark, idx_path, queries, k=k, n_probe=n_probe).collect()
+        }
+        sec = time.time() - t0
+        buckets = sorted(
+            {"b" + b for _, vec in q_vecs for b in py_probe_buckets(vec, planes, n_probe)}
+        )
+        n_cand = idx.filter(F.col("bucket").isin(buckets)).count()
+        multiprobe[f"n_probe_{n_probe}"] = {
+            "recall_at_k": round(len(exact & probed) / len(exact), 4),
+            "query_sec": round(sec, 1),
+            "candidates": n_cand,
+            "candidate_multiple_vs_single": round(n_cand / max(1, n_candidates), 2),
+        }
+
     print(
         json.dumps(
             {
@@ -106,6 +138,7 @@ def main(n: int) -> None:
                 "index_recall_at_k": round(len(exact & indexed) / len(exact), 4),
                 "index_candidates": n_candidates,
                 "index_candidate_fraction": round(n_candidates / n, 4),
+                "multiprobe": multiprobe,
             }
         )
     )
