@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..plans import voc
 from ..plans.model import FunctionCall, TermMap, TriplesMap
+from ..state import StateBackend
 from .terms import compile_term_map
 
 STATE_SCHEMA = "iri string, publisher string, watched_hash string"
@@ -100,7 +101,7 @@ def watched_references(tm: TermMap) -> list[str]:
     return refs
 
 
-class StateStore:
+class StateStore(StateBackend):
     """Versioned parquet state tables under ``root/<md5(state_id)>/v_N``.
 
     ``read`` returns the latest committed snapshot (empty frame if none);
@@ -108,6 +109,12 @@ class StateStore:
     the sandbox stand-in for an Iceberg state table: same snapshot
     semantics, same resume story (the LATEST pointer ≙ current snapshot
     id; a killed run never half-updates state).
+
+    One implementation of the :class:`rml_utils_processor_ts_spark.state.
+    StateBackend` seam — the executor/streaming layers type against the
+    interface, so ``state.IcebergStateStore`` (which documents the
+    per-transition MERGE INTO mapping) drops in when the runtime jars
+    exist.
     """
 
     def __init__(self, spark: SparkSession, root: str):

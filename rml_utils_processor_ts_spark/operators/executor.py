@@ -24,7 +24,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +43,10 @@ _XSD_DATETIME = voc.XSD + "dateTime"
 class ExecutionResult:
     triples: DataFrame
     state_updates: dict[str, DataFrame] = field(default_factory=dict)
+    # TriplesMap names skipped because their logical source could not be
+    # resolved (on_missing_source="skip" — the reference's warn-and-
+    # continue, /root/reference/src/rml/rml.ts:264-269)
+    skipped: list[str] = field(default_factory=list)
 
     def target_ids(self) -> list[str]:
         return [r[0] for r in self.triples.select("target_id").distinct().collect()]
@@ -117,6 +121,7 @@ class PlanExecutor:
         passthrough: tuple[str, ...] = ("url", "warc_ts"),
         dedupe: bool = True,
         ldes_ts_col: str = "warc_ts",
+        on_missing_source: str = "raise",
     ):
         self.spark = spark
         self.state_store = state_store
@@ -131,6 +136,15 @@ class PlanExecutor:
         self.passthrough = passthrough
         self.dedupe = dedupe
         self.ldes_ts_col = ldes_ts_col
+        # "raise" (default — a missing binding is a config error caught
+        # up front) or "skip": warn and drop the TriplesMaps over an
+        # unresolvable source, executing the rest — the reference's
+        # behavior for declared-but-unmatched sources
+        # (/root/reference/src/rml/rml.ts:264-269, exercised at
+        # test/rml.test.ts:690-798)
+        if on_missing_source not in ("raise", "skip"):
+            raise ValueError(f"on_missing_source must be 'raise' or 'skip', got {on_missing_source!r}")
+        self.on_missing_source = on_missing_source
         self._scan_cache: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
 
     # -- scans -------------------------------------------------------------
@@ -192,9 +206,69 @@ class PlanExecutor:
 
     # -- execution ---------------------------------------------------------
 
+    def _empty_triples(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], ", ".join(f"{c} string" for c in TRIPLE_COLUMNS)
+        )
+
+    def _drop_unresolvable_tms(self, plan: MappingPlan) -> tuple[list[TriplesMap], list[str]]:
+        """on_missing_source='skip': pre-resolve every distinct logical
+        source; TriplesMaps over unresolvable ones are warned about and
+        dropped (with referencing POMs that point at a dropped parent),
+        so a partially-bound pipeline still emits the resolvable part —
+        the reference warns 'no Connector Architecture declaration' and
+        continues (/root/reference/src/rml/rml.ts:264-269)."""
+        import warnings
+
+        bad_keys: set[str] = set()
+        seen: set[str] = set()
+        for tm in plan.triples_maps:
+            ls = tm.logical_source
+            if ls.key() in seen:
+                continue
+            seen.add(ls.key())
+            try:
+                self._records(ls, [])
+            except Exception as e:  # noqa: BLE001 — any resolution failure
+                warnings.warn(
+                    f"logical source {ls.source!r} has no resolvable binding; "
+                    f"skipping its TriplesMaps ({e})",
+                    stacklevel=3,
+                )
+                bad_keys.add(ls.key())
+        if not bad_keys:
+            return plan.triples_maps, []
+        skipped = [tm.name for tm in plan.triples_maps if tm.logical_source.key() in bad_keys]
+        kept: list[TriplesMap] = []
+        for tm in plan.triples_maps:
+            if tm.logical_source.key() in bad_keys:
+                continue
+            poms = []
+            for pom in tm.predicate_object_maps:
+                if pom.parent_triples_map in skipped:
+                    warnings.warn(
+                        f"TriplesMap {tm.name}: referencing object map points at "
+                        f"skipped parent {pom.parent_triples_map!r}; dropping the POM",
+                        stacklevel=3,
+                    )
+                    continue
+                poms.append(pom)
+            kept.append(replace(tm, predicate_object_maps=poms))
+        return kept, skipped
+
     def execute(self, plan: MappingPlan) -> ExecutionResult:
         by_name = {tm.name: tm for tm in plan.triples_maps}
         self._plan_source_refs(plan, by_name)
+        skipped: list[str] = []
+        if self.on_missing_source == "skip":
+            kept, skipped = self._drop_unresolvable_tms(plan)
+            if skipped:
+                plan = replace(plan, triples_maps=kept)
+                by_name = {tm.name: tm for tm in plan.triples_maps}
+                if not kept:
+                    return ExecutionResult(
+                        triples=self._empty_triples(), skipped=skipped
+                    )
         frames: list[DataFrame] = []
         state_updates: dict[str, DataFrame] = {}
 
@@ -225,7 +299,7 @@ class PlanExecutor:
         if self.dedupe:
             # RDF graphs are sets (B12): duplicate quads collapse.
             triples = triples.dropDuplicates(TRIPLE_COLUMNS)
-        return ExecutionResult(triples=triples, state_updates=state_updates)
+        return ExecutionResult(triples=triples, state_updates=state_updates, skipped=skipped)
 
     def _execute_tm(self, tm: TriplesMap, by_name: dict[str, TriplesMap]):
         refs = _collect_refs(tm)

