@@ -749,6 +749,43 @@ ex:m a rr:TriplesMap ;
     return res.triples.select("s", "p", "o")
 
 
+def q_rml_grel_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 widened GREL surface (round 4): md5 hashing, 0-based slice,
+    and idlab-fn:slugify as FunctionTermMap objects over the customer
+    table — each a pure Column expression whose DuckDB twin reproduces
+    the value byte-for-byte."""
+    grel = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
+    mapping = f"""
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:{sf_dir}/customer.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/customer/{{c_custkey}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/nameHash> ] ;
+        rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <{grel}string_md5> ] ] ;
+            rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "c_name" ] ]
+        ] ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/seg4> ] ;
+        rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <{grel}string_slice> ] ] ;
+            rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "c_mktsegment" ] ] ;
+            rr:predicateObjectMap [ rr:predicate <{grel}p_int_i_from> ; rr:objectMap [ rr:constant "0" ] ] ;
+            rr:predicateObjectMap [ rr:predicate <{grel}p_int_i_opt_to> ; rr:objectMap [ rr:constant "4" ] ]
+        ] ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/slug> ] ;
+        rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:slugify ] ] ;
+            rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "c_name" ] ]
+        ] ] ] .
+"""
+    res = _exec(spark, mapping)
+    return res.triples.select("s", "p", "o")
+
+
 YARRRML_COND_DOC = """
 prefixes:
     ex: "http://example.org/"
@@ -848,6 +885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "rml_xpath_predicates": q_rml_xpath_predicates,
     "rml_sql_query": q_rml_sql_query,
+    "rml_grel_functions": q_rml_grel_functions,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
@@ -1364,6 +1402,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS VARCHAR) AS o
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
+        """,
+        "rml_grel_functions": """
+            WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer)
+            SELECT 'http://ex.org/customer/' || c_custkey AS s,
+                   'http://ex.org/ns/nameHash' AS p, md5(c_name) AS o FROM c
+            UNION ALL
+            SELECT 'http://ex.org/customer/' || c_custkey,
+                   'http://ex.org/ns/seg4', substring(c_mktsegment, 1, 4) FROM c
+            UNION ALL
+            SELECT 'http://ex.org/customer/' || c_custkey,
+                   'http://ex.org/ns/slug',
+                   regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'), '(^-+|-+$)', '', 'g')
+            FROM c
         """,
         "rml_json_iterator": """
             SELECT * FROM (VALUES

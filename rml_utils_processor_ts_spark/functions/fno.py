@@ -167,5 +167,86 @@ def _register_grel_string_functions() -> None:
 
     register_function(g + "string_replace", _replace)
 
+    # hashing (grel string_md5/string_sha1 — deterministic, engine-
+    # portable: Spark md5/sha1 emit the same lowercase hex as DuckDB)
+    register_function(g + "string_md5", lambda fn, ct: F.md5(_single_param(fn, ct)))
+    register_function(g + "string_sha1", lambda fn, ct: F.sha1(_single_param(fn, ct)))
+    register_function(g + "toTitlecase", lambda fn, ct: F.initcap(_single_param(fn, ct)))
+
+    def _slice(fn: FunctionCall, ct) -> Column:
+        # GREL slice(value, from[, to]): 0-based, end-exclusive; negative
+        # or missing 'to' = rest of string
+        value = _single_param(fn, ct)
+        fro = _param(fn, g + "p_int_i_from")
+        to = _param(fn, g + "p_int_i_opt_to")
+        if fro is None or fro.constant is None:
+            raise ValueError("grel:string_slice needs a constant p_int_i_from")
+        start = int(fro.constant)
+        if to is not None and to.constant is not None:
+            return F.substring(value, start + 1, int(to.constant) - start)
+        return F.substring(value, start + 1, 2_147_483_647)
+
+    register_function(g + "string_slice", _slice)
+
+    # predicates -> boolean Columns (composable with trueCondition /
+    # boolean_not, same contract as idlab-fn:equal)
+    def _binary_str(fn: FunctionCall, ct) -> tuple[Column, Column]:
+        a = _param(fn, voc.GREL_VALUE_PARAMETER)
+        b = _param(fn, g + "string_sub") or _param(fn, voc.GREL_VALUE_PARAMETER2)
+        if a is None or b is None:
+            raise ValueError(f"{fn.function_iri} needs valueParameter + string_sub")
+        return ct(a, "value"), ct(b, "value")
+
+    register_function(
+        g + "string_contains", lambda fn, ct: (lambda a, b: a.contains(b))(*_binary_str(fn, ct))
+    )
+    register_function(
+        g + "string_startsWith", lambda fn, ct: (lambda a, b: a.startswith(b))(*_binary_str(fn, ct))
+    )
+    register_function(
+        g + "string_endsWith", lambda fn, ct: (lambda a, b: a.endswith(b))(*_binary_str(fn, ct))
+    )
+
+    def _bool_param(fn: FunctionCall, ct, tm: TermMap) -> Column:
+        # a nested function (equal/contains/...) compiles to a boolean
+        # Column already; a reference/constant is GREL's string boolean
+        if tm.function is not None:
+            return ct(tm, "boolean")
+        return F.lower(ct(tm, "value")) == F.lit("true")
+
+    def _not(fn: FunctionCall, ct) -> Column:
+        tm = _param(fn, g + "bool_b") or next(iter(fn.params.values()), None)
+        if tm is None:
+            raise ValueError("grel:boolean_not needs a parameter")
+        return ~_bool_param(fn, ct, tm)
+
+    register_function(g + "boolean_not", _not)
+
+    def _and_or(op):
+        def build(fn: FunctionCall, ct) -> Column:
+            parts = [_bool_param(fn, ct, tm) for _, tm in sorted_params(fn)]
+            if not parts:
+                raise ValueError(f"{fn.function_iri} needs parameters")
+            out = parts[0]
+            for p in parts[1:]:
+                out = op(out, p)
+            return out
+
+        return build
+
+    register_function(g + "boolean_and", _and_or(lambda a, b: a & b))
+    register_function(g + "boolean_or", _and_or(lambda a, b: a | b))
+
+    # idlab-fn:slugify — IRI-safe slug (lowercase, non-alphanumerics
+    # collapsed to '-'): a common subject-template helper
+    register_function(
+        voc.IDLAB_FN + "slugify",
+        lambda fn, ct: F.regexp_replace(
+            F.regexp_replace(F.lower(_single_param(fn, ct)), r"[^a-z0-9]+", "-"),
+            r"(^-+|-+$)",
+            "",
+        ),
+    )
+
 
 _register_grel_string_functions()

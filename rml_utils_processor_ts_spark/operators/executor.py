@@ -200,7 +200,13 @@ class PlanExecutor:
                 else None
             )
             self._scan_cache[key] = records_df(
-                self.spark, ls, sorted(all_refs), list(self.passthrough), doc_derived=derived
+                self.spark,
+                ls,
+                sorted(all_refs),
+                list(self.passthrough),
+                doc_derived=derived,
+                # plan bindings let an rml:query JOIN other bound tables
+                table_views=getattr(self, "_bindings", None),
             )
         return self._scan_cache[key]
 
@@ -258,6 +264,7 @@ class PlanExecutor:
 
     def execute(self, plan: MappingPlan) -> ExecutionResult:
         by_name = {tm.name: tm for tm in plan.triples_maps}
+        self._bindings = dict(plan.source_bindings)
         self._plan_source_refs(plan, by_name)
         skipped: list[str] = []
         if self.on_missing_source == "skip":

@@ -435,6 +435,7 @@ def records_df(
     refs: list[str],
     passthrough: list[str] | None = None,
     doc_derived: dict[str, tuple[str, int]] | None = None,
+    table_views: dict[str, str] | None = None,
 ) -> DataFrame:
     """Load a logical source and produce its record DataFrame with one
     string column per reference (named ``ref_<md5>``), plus passthrough
@@ -470,7 +471,7 @@ def records_df(
         path = src[len("table:"):] if src.startswith("table:") else src
         df = spark.read.parquet(path)
         if ls.query:
-            df = _run_source_query(spark, df, ls, path)
+            df = _run_source_query(spark, df, ls, path, table_views)
             if ls.kind in ("xpath", "jsonpath"):
                 # rml:query + a document referenceFormulation: the query
                 # SELECTs a payload column (ls.payload_column, or the
@@ -544,14 +545,36 @@ def _source_view_name(ls: LogicalSource, path: str) -> str:
     return os.path.splitext(base)[0] or "src"
 
 
-def _run_source_query(spark: SparkSession, df: DataFrame, ls: LogicalSource, path: str) -> DataFrame:
+def _run_source_query(
+    spark: SparkSession,
+    df: DataFrame,
+    ls: LogicalSource,
+    path: str,
+    table_views: dict[str, str] | None = None,
+) -> DataFrame:
     """Execute an rml:query / rr:sqlQuery relational source: register
     the bound table as a temp view and run the query with spark.sql —
     Catalyst handles pushdown/pruning through the view, so the query is
     as scan-efficient as a hand-built DataFrame chain. The reference
     delegates these sources to the Java jar's RDB handling
     (/root/reference/src/rml/rml.ts:136-147); here the 'database' IS the
-    Spark catalog."""
+    Spark catalog.
+
+    ``table_views`` (the plan's source bindings) lets the query JOIN
+    other bound tables: every binding whose name is a SQL identifier
+    AND appears as a word in the query text registers as a view too —
+    the RDB parity a single-table view can't give. The primary table's
+    view registers LAST, so a colliding binding never shadows it."""
+    import re as _re
+
+    for name, loc in sorted((table_views or {}).items()):
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            continue
+        if not (loc.startswith("table:") or loc.endswith(".parquet")):
+            continue
+        if not _re.search(rf"\b{name}\b", ls.query):
+            continue  # don't pay a file listing for unreferenced tables
+        spark.read.parquet(loc[len("table:"):] if loc.startswith("table:") else loc).createOrReplaceTempView(name)
     view = _source_view_name(ls, path)
     df.createOrReplaceTempView(view)
     try:

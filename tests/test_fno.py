@@ -76,3 +76,81 @@ def test_unknown_function_actionable_error(spark):
             """rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <http://ex.org/fn/never-registered> ] ] ;
                rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "id" ] ]""",
         )
+
+
+GREL = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
+
+
+def _fn(name: str, params: str) -> str:
+    return (
+        f"rr:predicateObjectMap [ rr:predicate fno:executes ; "
+        f"rr:objectMap [ rr:constant <{GREL}{name}> ] ] ;\n{params}"
+    )
+
+
+def test_grel_hash_title_slice(spark):
+    """Round-4 registry widening: md5/sha1 hashing, title-case, and
+    0-based end-exclusive slice (all pure builtins, DuckDB-portable)."""
+    import hashlib
+
+    md5 = _run(
+        spark,
+        _fn("string_md5", 'rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "name" ] ]'),
+    )
+    assert md5 == hashlib.md5(b"  Hello World  ").hexdigest()
+    sha1 = _run(
+        spark,
+        _fn("string_sha1", 'rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "name" ] ]'),
+    )
+    assert sha1 == hashlib.sha1(b"  Hello World  ").hexdigest()
+    title = _run(
+        spark,
+        _fn("toTitlecase", 'rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rr:constant "hello world" ] ]'),
+    )
+    assert title == "Hello World"
+    sl = _run(
+        spark,
+        _fn(
+            "string_slice",
+            'rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rr:constant "abcdefgh" ] ] ;\n'
+            f'rr:predicateObjectMap [ rr:predicate <{GREL}p_int_i_from> ; rr:objectMap [ rr:constant "2" ] ] ;\n'
+            f'rr:predicateObjectMap [ rr:predicate <{GREL}p_int_i_opt_to> ; rr:objectMap [ rr:constant "5" ] ]',
+        ),
+    )
+    assert sl == "cde"  # 0-based [2, 5)
+
+
+def test_grel_predicates_compose_with_truecondition(spark):
+    """string_contains / boolean_not return boolean Columns composable
+    inside trueCondition — rows failing the condition emit no triple."""
+    doc = '[{"id": "1", "name": "alpha main"}, {"id": "2", "name": "beta"}]'
+    mapping = f"""
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/{{id}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/v> ] ;
+        rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:trueCondition ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:strBoolean ; rr:objectMap [ fnml:functionValue [
+                rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <{GREL}string_contains> ] ] ;
+                rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "name" ] ] ;
+                rr:predicateObjectMap [ rr:predicate <{GREL}string_sub> ; rr:objectMap [ rr:constant "main" ] ]
+            ] ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:str ; rr:objectMap [ rml:reference "name" ] ]
+        ] ]
+    ] .
+"""
+    res = execute_mapping(spark, mapping, {"d.json": "inline:" + doc})
+    objs = {r["o"] for r in res.triples.collect() if r["p"] == "http://x/v"}
+    assert objs == {"alpha main"}
+
+
+def test_idlab_slugify(spark):
+    out = _run(
+        spark,
+        "rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:slugify ] ] ;\n"
+        'rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rr:constant "  Héllo,  World! " ] ]',
+    )
+    assert out == "h-llo-world"

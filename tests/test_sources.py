@@ -535,3 +535,39 @@ ex:map_missing a rr:TriplesMap ;
         rows = {(r["s"], r["p"].rsplit("#", 1)[-1].rsplit("/", 1)[-1], r["o"]) for r in res.triples.collect()}
     assert rows == {("http://x/c/1", "label", "A")}
     assert any("dropping the POM" in str(x.message) for x in w)
+
+
+def test_rml_query_joins_bound_tables(spark):
+    """An rml:query can JOIN other bound tables: every plan binding
+    whose name appears in the query text registers as a temp view (RDB
+    parity a single-table view can't give)."""
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rr:tableName "nations" ;
+        rml:query "SELECT n.n_nationkey AS k, r.r_name AS region FROM nations n JOIN regions r ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey = 2" ] ;
+    rr:subjectMap [ rr:template "http://x/n/{k}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/ns/region> ] ;
+        rr:objectMap [ rml:reference "region" ] ] .
+"""
+    res = execute_mapping(
+        spark,
+        mapping,
+        {
+            "nations": "table:/root/testdata/sf0.001/nation.parquet",
+            "regions": "table:/root/testdata/sf0.001/region.parquet",
+        },
+    )
+    rows = {(r["s"], r["o"]) for r in res.triples.collect()}
+    import duckdb
+
+    exp = {
+        (f"http://x/n/{k}", nm)
+        for k, nm in duckdb.sql(
+            "SELECT n_nationkey, r_name FROM '/root/testdata/sf0.001/nation.parquet' n "
+            "JOIN '/root/testdata/sf0.001/region.parquet' r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_regionkey = 2"
+        ).fetchall()
+    }
+    assert rows == exp and len(rows) == 5
