@@ -786,6 +786,52 @@ ex:m a rr:TriplesMap ;
     return res.triples.select("s", "p", "o")
 
 
+def q_rml_jsonpath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 extended JSONPath surface (round 4): a filter-predicate
+    iterator (``$.nations[?@.keep=='y']``) with a nested-path reference
+    over per-region JSON documents synthesized deterministically from
+    the nation table — the from_json fast path rejects filters, so this
+    gates the jsonpath_ng ext tree walker end-to-end; the oracle is
+    closed-form over nation (keep='y' <=> even key)."""
+    from rml_utils_processor_ts_spark.sources.registry import register_memory_source
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    item = F.to_json(
+        F.struct(
+            F.col("n_nationkey").cast("string").alias("id"),
+            F.when(F.col("n_nationkey") % 2 == 0, F.lit("y")).otherwise(F.lit("n")).alias("keep"),
+            F.struct(F.lower(F.col("n_name")).alias("nm")).alias("meta"),
+        )
+    )
+    docs = (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("n_nationkey").alias("k"), item.alias("x")))
+                    ),
+                    lambda s: s["x"],
+                ),
+                ",",
+            ).alias("body")
+        )
+        .select(F.concat(F.lit('{"nations": ['), F.col("body"), F.lit("]}")).alias("doc"))
+    )
+    register_memory_source("jsonpath_filter_docs", docs)
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "docs.json" ;
+        rml:iterator "$.nations[?@.keep=='y']" ; rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/nation/{id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "meta.nm" ] ] .
+"""
+    res = _exec(spark, mapping, source_bindings={"docs.json": "memory:jsonpath_filter_docs"})
+    return res.triples.select("s", "p", "o")
+
+
 YARRRML_COND_DOC = """
 prefixes:
     ex: "http://example.org/"
@@ -886,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_xpath_predicates": q_rml_xpath_predicates,
     "rml_sql_query": q_rml_sql_query,
     "rml_grel_functions": q_rml_grel_functions,
+    "rml_jsonpath_filter": q_rml_jsonpath_filter,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
@@ -1402,6 +1449,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS VARCHAR) AS o
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
+        """,
+        "rml_jsonpath_filter": """
+            SELECT 'http://ex.org/nation/' || n_nationkey AS s,
+                   'http://www.w3.org/2000/01/rdf-schema#label' AS p,
+                   lower(n_name) AS o
+            FROM nation WHERE n_nationkey % 2 = 0
         """,
         "rml_grel_functions": """
             WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer)

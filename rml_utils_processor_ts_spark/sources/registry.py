@@ -174,6 +174,25 @@ def _json_value_to_str(v) -> str | None:
     return str(v)
 
 
+_JP_CACHE: dict[str, object] = {}
+
+
+def _jp_parse(path: str):
+    """jsonpath_ng parser with the ext grammar (filter predicates
+    ``[?@.k=='v']``, slices, arithmetic) and a per-process compile cache
+    — this runs inside the Arrow-batched walker PER DOCUMENT, so
+    reparsing the same path per row would dominate the batch."""
+    expr = _JP_CACHE.get(path)
+    if expr is None:
+        try:
+            from jsonpath_ng.ext import parse as jp
+        except ImportError:  # pragma: no cover — ext ships with jsonpath_ng
+            from jsonpath_ng import parse as jp
+        expr = jp(path)
+        _JP_CACHE[path] = expr
+    return expr
+
+
 def _json_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
     """JSONPath iteration (B3). Fast path handles the fixture shapes
     ``$.[*]`` / ``$[*]`` / ``$.<key>[*]`` / ``$`` with stdlib json; other
@@ -193,9 +212,10 @@ def _json_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
         sub = data.get(key) if isinstance(data, dict) else None
         elements = sub if isinstance(sub, list) else []
     else:
-        from jsonpath_ng import parse as jp_parse
-
-        elements = [m.value for m in jp_parse(it).find(data)]
+        try:
+            elements = [m.value for m in _jp_parse(it).find(data)]
+        except Exception:  # unsupported syntax -> no records, not a crash
+            return []
     out = []
     for el in elements:
         rec = {}
@@ -214,9 +234,10 @@ def _json_eval_ref(el, ref: str):
             if isinstance(cur, dict) and part in cur:
                 cur = cur[part]
             else:
-                from jsonpath_ng import parse as jp_parse
-
-                found = jp_parse(ref if ref.startswith("$") else "$." + ref).find(el)
+                try:
+                    found = _jp_parse(ref if ref.startswith("$") else "$." + ref).find(el)
+                except Exception:
+                    return None
                 return found[0].value if found else None
         return cur
     return None

@@ -571,3 +571,34 @@ ex:m a rr:TriplesMap ;
         ).fetchall()
     }
     assert rows == exp and len(rows) == 5
+
+
+def test_jsonpath_filter_and_slice_iterators(spark):
+    """JSONPath ext surface (round 4, the JSON analog of predicated
+    XPath): filter predicates and slices in iterators, nested-path +
+    indexed references — all through the tree-walking path (the
+    from_json fast path rejects them)."""
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "d.json" ;
+        rml:iterator "$.items[?@.kind=='keep']" ; rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/{id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "meta.n" ] ] .
+"""
+    doc = (
+        '{"items": [{"id": "1", "kind": "keep", "meta": {"n": 5}},'
+        ' {"id": "2", "kind": "drop", "meta": {"n": 6}},'
+        ' {"id": "3", "kind": "keep", "meta": {"n": 7}}]}'
+    )
+    res = execute_mapping(spark, mapping, {"d.json": "inline:" + doc})
+    rows = {(r["s"], r["o"]) for r in res.triples.collect()}
+    assert rows == {("http://x/1", "5"), ("http://x/3", "7")}
+
+    slice_mapping = mapping.replace("$.items[?@.kind=='keep']", "$.items[0:2]")
+    res2 = execute_mapping(spark, slice_mapping, {"d.json": "inline:" + doc})
+    assert {(r["s"], r["o"]) for r in res2.triples.collect()} == {
+        ("http://x/1", "5"),
+        ("http://x/2", "6"),
+    }
