@@ -145,11 +145,18 @@ def session_stats_builtin(
     per-session aggregates). Requires a numeric ``value_col`` column."""
     if value_col not in events.columns:
         raise ValueError(f"value_col {value_col!r} not in frame columns {events.columns}")
-    ts = F.col(ts_col).cast("timestamp")
+    # a ts_col that is ALREADY TIMESTAMP is used as-is: re-aliasing it
+    # to a derived column would strip any withWatermark the caller set,
+    # and Spark then rejects append-mode streaming aggregation. Only
+    # NTZ/string inputs (batch parquet) go through the cast alias.
+    if dict(events.dtypes).get(ts_col) == "timestamp":
+        src, tcol = events, ts_col
+    else:
+        src = events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        tcol = "__ts"
     return (
-        events.withColumn("__ts", ts)
-        .groupBy(user_col, F.session_window("__ts", f"{gap_minutes} minutes"))
-        .agg(*_session_aggs(F.col("__ts"), value_col))
+        src.groupBy(user_col, F.session_window(tcol, f"{gap_minutes} minutes"))
+        .agg(*_session_aggs(F.col(tcol), value_col))
         .select(
             user_col,
             F.col("session_window.start").alias("session_start"),
