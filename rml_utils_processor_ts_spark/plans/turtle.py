@@ -30,7 +30,10 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
     | (?P<iriref><[^<>\s]*>)
+    | (?P<string_long>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3})
+    | (?P<string_long_sq>'{3}(?:[^'\\]|\\.|'(?!'{2}))*'{3})
     | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<string_sq>'(?:[^'\\]|\\.)*')
     | (?P<prefix_decl>@prefix\b)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtype>\^\^)
@@ -163,8 +166,12 @@ class TurtleParser:
             return Term("bnode", val[2:])
         if kind == "kw_a" and not as_subject:
             return Term("iri", _RDF_TYPE)
-        if kind == "string":
-            lit = _unescape(val[1:-1])
+        if kind in ("string", "string_sq", "string_long", "string_long_sq"):
+            # long forms (triple-quoted) may span lines — how a mapping
+            # carries multi-line SQL in rml:query, or embedded quotes,
+            # without escaping (Turtle long-string grammar)
+            trim = 3 if kind.startswith("string_long") else 1
+            lit = _unescape(val[trim:-trim])
             nk, nv = toks.peek()
             if nk == "dtype":
                 toks.next()

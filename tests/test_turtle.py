@@ -59,3 +59,53 @@ def test_graph_match_api():
     assert len(list(g.match(p="http://ex/p"))) == 2
     assert g.object(Term("iri", "http://ex/a"), "http://ex/q").value == "v"
     assert len(g.subjects("http://ex/p")) == 2
+
+
+def test_single_and_triple_quoted_literals():
+    """Round 4: Turtle single-quoted and triple-quoted (long) literal
+    forms — long strings span lines and carry embedded quotes, which is
+    how a mapping holds multi-line SQL in rml:query without escaping."""
+    doc = "\n".join(
+        [
+            "@prefix ex: <http://x/> .",
+            "ex:s ex:p 'single quoted' .",
+            "ex:s ex:q '''multi\nline with \"double quotes\" inside''' .",
+            'ex:s ex:r """long\nwith \'single quotes\'""" .',
+            "ex:s ex:t 'tagged'@en .",
+            "ex:s ex:u 'typed'^^ex:dt .",
+        ]
+    )
+    from rml_utils_processor_ts_spark.plans.turtle import TurtleParser
+
+    trips = {(t[0].value, t[1].value.rsplit("/", 1)[-1], t[2].value) for t in TurtleParser().parse(doc)}
+    assert ("http://x/s", "p", "single quoted") in trips
+    assert ("http://x/s", "q", 'multi\nline with "double quotes" inside') in trips
+    assert ("http://x/s", "r", "long\nwith 'single quotes'") in trips
+    lang = [t[2] for t in TurtleParser().parse(doc) if t[1].value.endswith("/t")][0]
+    assert lang.lang == "en"
+
+
+def test_multiline_sql_query_in_mapping(spark):
+    """End-to-end: a triple-quoted rml:query spanning lines with a
+    quoted SQL string literal parses and executes."""
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+    mapping = '''
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:/root/testdata/sf0.001/nation.parquet" ;
+        rml:query """
+            SELECT n_nationkey AS k,
+                   concat(n_name, ' of region "', n_regionkey, '"') AS label
+            FROM nation WHERE n_regionkey = 3
+        """ ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/n/{k}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "label" ] ] .
+'''
+    res = execute_mapping(spark, mapping)
+    rows = {(r["s"], r["o"]) for r in res.triples.collect()}
+    assert len(rows) == 5
+    assert all(o.endswith('of region "3"') for _, o in rows)
