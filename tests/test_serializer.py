@@ -1,0 +1,128 @@
+"""MappingPlan -> RML Turtle serializer: round-trip (parse . serialize
+== identity under plan_hash) across the term-map/join/target surface,
+plus the reference's Y2R string-level contract."""
+
+from fixtures import RML_STATEFUL
+from pyspark.sql import functions as F
+
+from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+from rml_utils_processor_ts_spark.plans.serializer import plan_to_rml, yarrrml2rml
+from rml_utils_processor_ts_spark.plans.yarrrml import yarrrml_to_plan
+
+
+def _roundtrip(mapping: str, bindings=None) -> None:
+    plan = parse_mapping(mapping, bindings)
+    ttl = plan_to_rml(plan)
+    plan2 = parse_mapping(ttl)
+    assert plan.plan_hash() == plan2.plan_hash(), ttl
+
+
+def test_roundtrip_basic_projection():
+    _roundtrip(
+        """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "table:/root/testdata/sf0.001/customer.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/c/{c_custkey}" ; rr:class <http://x/C> ;
+        rr:graphMap [ rr:constant "http://x/g" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "c_name" ; rr:termType rr:Literal ;
+            rr:datatype xsd:string ] ] .
+"""
+    )
+
+
+def test_roundtrip_join_and_query():
+    _roundtrip(
+        """
+ex:parent a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "table:/root/testdata/sf0.001/customer.parquet" ;
+        rml:query "SELECT c_custkey FROM customer WHERE c_custkey < 10" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/c/{c_custkey}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "c_custkey" ] ] .
+
+ex:child a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "table:/root/testdata/sf0.001/orders.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/o/{o_orderkey}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/ns/placedBy> ] ;
+        rr:objectMap [
+            rr:parentTriplesMap ex:parent ;
+            rml:joinCondition [ fnml:functionValue [
+                rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:equal ] ] ;
+                rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "o_custkey" ] ] ;
+                rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ; rr:objectMap [ rr:parentTermMap [ rml:reference "c_custkey" ] ] ]
+            ] ]
+        ] ] .
+"""
+    )
+
+
+def test_roundtrip_stateful_function_subject():
+    """The IncRML-generated shape: FnO FunctionTermMap subject with
+    nested function parameters survives serialization."""
+    plan = parse_mapping(
+        RML_STATEFUL.format(source="dataset/data.xml"),
+        {"dataset/data.xml": "inline:<resource/>"},
+    )
+    ttl = plan_to_rml(plan)
+    plan2 = parse_mapping(ttl)
+    assert plan.plan_hash() == plan2.plan_hash(), ttl
+
+
+def test_yarrrml2rml_string_contract(spark):
+    """Reference Y2R parity at string level (yarrrml.ts:5-22): YARRRML
+    in, RML Turtle out — and the emitted document EXECUTES identically
+    to the directly-compiled plan."""
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    stations:
+        sources: [["s.json~jsonpath", "$.[*]"]]
+        s: ex:s/$(id)
+        po:
+            - [ex:name, $(name)]
+"""
+    bindings = {"s.json": 'inline:[{"id": "1", "name": "A"}, {"id": "2", "name": "B"}]'}
+    ttl = yarrrml2rml(doc, bindings)
+    assert "rr:TriplesMap" in ttl and "rml:logicalSource" in ttl
+
+    direct = PlanExecutor(spark).execute(yarrrml_to_plan(doc, bindings))
+    via_rml = PlanExecutor(spark).execute(parse_mapping(ttl))
+    a = {tuple(r) for r in direct.triples.collect()}
+    b = {tuple(r) for r in via_rml.triples.collect()}
+    assert a == b and len(a) == 2
+
+
+def test_roundtrip_ldes_target():
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "table:/root/testdata/sf0.001/customer.parquet" ;
+        rml:referenceFormulation <urn:rml-spark:ql/Table> ] ;
+    rr:subjectMap [ rr:template "http://x/c/{c_custkey}" ;
+        rml:logicalTarget ex:t1 ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "c_name" ] ] .
+
+ex:t1 a rmlt:EventStreamTarget ;
+    rmlt:target [ a void:Dataset ; void:dataDump <file:///out.nq> ] ;
+    rmlt:serialization <http://www.w3.org/ns/formats/N-Quads> ;
+    rmlt:ldes [ <https://w3id.org/ldes#timestampPath> <http://purl.org/dc/terms/modified> ] ;
+    rmlt:ldesGenerateImmutableIRI "true" .
+"""
+    plan = parse_mapping(mapping)
+    ttl = plan_to_rml(plan)
+    plan2 = parse_mapping(ttl)
+    assert plan.plan_hash() == plan2.plan_hash(), ttl
+    lt = plan2.triples_maps[0].subject_map.logical_target
+    assert lt is not None and lt.is_ldes and lt.ldes_immutable_iri
+    assert lt.location == "file:///out.nq"
+    assert lt.ldes_timestamp_path == "http://purl.org/dc/terms/modified"
