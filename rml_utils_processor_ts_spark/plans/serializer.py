@@ -244,3 +244,14 @@ def yarrrml2rml(doc: str, source_bindings: dict[str, str] | None = None) -> str:
     from .yarrrml import yarrrml_to_plan
 
     return plan_to_rml(yarrrml_to_plan(doc, source_bindings))
+
+
+def rml2incrml(rml_doc: str, config, source_bindings: dict[str, str] | None = None) -> str:
+    """The reference's ``js:IncRMLTransformer`` contract at string
+    level: RML document in, IncRML (CDC-expanded) RML document out
+    (/root/reference/src/rml/incrml.ts:67-79) — parse, expand with
+    :func:`plans.incrml.expand_to_incrml`, serialize."""
+    from .incrml import expand_to_incrml
+    from .rml_parser import parse_mapping
+
+    return plan_to_rml(expand_to_incrml(parse_mapping(rml_doc, source_bindings), config))

@@ -126,3 +126,42 @@ ex:t1 a rmlt:EventStreamTarget ;
     assert lt is not None and lt.is_ldes and lt.ldes_immutable_iri
     assert lt.location == "file:///out.nq"
     assert lt.ldes_timestamp_path == "http://purl.org/dc/terms/modified"
+
+
+def test_rml2incrml_string_contract(spark, tmp_path):
+    """Reference IncRMLTransformer parity at string level
+    (incrml.ts:67-79): plain RML in, CDC-expanded RML out — the emitted
+    document re-parses AND its stateful mapping executes a first
+    snapshot as all-Create, matching the directly-expanded plan."""
+    from rml_utils_processor_ts_spark.operators.cdc import StateStore
+    from rml_utils_processor_ts_spark.plans.incrml import IncRMLConfig, expand_to_incrml
+    from rml_utils_processor_ts_spark.plans.serializer import rml2incrml
+
+    doc = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "dataset/data.xml" ;
+        rml:iterator "//data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ rr:template "http://example.org/{@id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "@label" ] ] .
+"""
+    bindings = {
+        "dataset/data.xml": 'inline:<resource><data id="001" label="x"/><data id="002" label="y"/></resource>'
+    }
+    cfg = IncRMLConfig(state_base_path=str(tmp_path / "st"))
+    ttl = rml2incrml(doc, cfg, bindings)
+    assert "explicitCreate" in ttl and "implicitDelete" in ttl
+
+    direct = expand_to_incrml(parse_mapping(doc, bindings), cfg)
+    replayed = parse_mapping(ttl)
+    assert direct.plan_hash() == replayed.plan_hash(), ttl
+
+    store = StateStore(spark, str(tmp_path / "store"))
+    res = PlanExecutor(spark, state_store=store).execute(replayed)
+    creates = {
+        r["s"]
+        for r in res.triples.collect()
+        if r["p"].endswith("lifeCycleType") and r["o"].endswith("Create")
+    }
+    assert creates == {"http://example.org/001", "http://example.org/002"}
