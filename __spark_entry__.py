@@ -832,6 +832,60 @@ ex:m a rr:TriplesMap ;
     return res.triples.select("s", "p", "o")
 
 
+def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key split join gate (round 4 — previously pytest-only): join
+    lineitem (skewed fact) to orders rows on orderkey with a threshold
+    low enough that real hot keys split; the joined RESULT is
+    salt-invariant, so the oracle is the plain SQL join + aggregate."""
+    from rml_utils_processor_ts_spark.operators.skew import split_hot_keys
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = split_hot_keys(li, orders, key="l_orderkey", hot_threshold=5, n_salt=4)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        )
+    )
+
+
+def q_rml_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 CSV + csvw:dialect gate (round 4 — previously pytest-only):
+    the nation table is materialized as a ';'-delimited CSV file, read
+    back through the csvw dialect logical source, and projected to
+    triples; the oracle derives the same values from nation directly."""
+    import os as _os
+
+    mark = f"/tmp/rml_csv_gate_{abs(hash(sf_dir)) % 10**8}.csv"
+    if not _os.path.exists(mark):
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        pdf = nation.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").toPandas()
+        pdf.to_csv(mark, sep=";", index=False)
+    mapping = f"""
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source [ a <http://www.w3.org/ns/csvw#Table> ;
+            <http://www.w3.org/ns/csvw#url> "{mark}" ;
+            <http://www.w3.org/ns/csvw#dialect> [ <http://www.w3.org/ns/csvw#delimiter> ";" ] ] ;
+        rml:referenceFormulation ql:CSV ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/nation/{{n_nationkey}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "n_name" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/region> ] ;
+        rr:objectMap [ rml:reference "n_regionkey" ] ] .
+"""
+    res = _exec(spark, mapping)
+    return res.triples.select("s", "p", "o")
+
+
 YARRRML_COND_DOC = """
 prefixes:
     ex: "http://example.org/"
@@ -933,6 +987,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_sql_query": q_rml_sql_query,
     "rml_grel_functions": q_rml_grel_functions,
     "rml_jsonpath_filter": q_rml_jsonpath_filter,
+    "skew_split_join": q_skew_split_join,
+    "rml_csv_dialect": q_rml_csv_dialect,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
@@ -1449,6 +1505,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS VARCHAR) AS o
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
+        """,
+        "skew_split_join": """
+            SELECT o.o_orderstatus, count(*) AS n_rows,
+                   sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS qty_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "rml_csv_dialect": """
+            WITH n AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+            SELECT 'http://ex.org/nation/' || n_nationkey AS s,
+                   'http://www.w3.org/2000/01/rdf-schema#label' AS p,
+                   n_name AS o FROM n
+            UNION ALL
+            SELECT 'http://ex.org/nation/' || n_nationkey,
+                   'http://ex.org/ns/region', CAST(n_regionkey AS VARCHAR) FROM n
         """,
         "rml_jsonpath_filter": """
             SELECT 'http://ex.org/nation/' || n_nationkey AS s,
