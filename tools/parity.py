@@ -224,6 +224,36 @@ ex:map_wot a rr:TriplesMap ;
     finally:
         server.shutdown()
 
+    # F7 declared + undeclared logical sources — rml.test.ts:690-798:
+    # the declared source's TriplesMap must still produce its quads
+    # while the undeclared one only warns (reference logs 'no Connector
+    # Architecture declaration' and continues, rml.ts:264-269). Our
+    # on_missing_source="skip" replays that: expected = the declared
+    # TM's 4 quads, the undeclared TM skipped, no exception.
+    import warnings as _warnings
+
+    mixed = (
+        RML_BASIC.format(source="d.xml")
+        + """
+ex:map_undeclared a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "dataset/undeclared.json" ;
+        rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "https://blue-bike.be/stations/{id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant ex:name ] ;
+        rr:objectMap [ rml:reference "name" ] ] .
+"""
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        res = PlanExecutor(spark, on_missing_source="skip").execute(
+            parse_mapping(mixed, {"d.xml": "inline:" + XML_DOC})
+        )
+    got = quadset(res.triples)
+    results.append(
+        ("rml.test.ts:690-798 declared+undeclared (skip mode)", *pr(got, expected), len(got), len(expected))
+    )
+
     # report
     lines = [
         "# PARITY — triple-level P/R vs reference fixture expectations",
