@@ -120,3 +120,80 @@ def test_cc_matches_union_find_on_pseudorandom_graph(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+@given(
+    st.integers(min_value=1, max_value=10**13),
+    st.integers(min_value=16, max_value=65536),
+)
+@settings(max_examples=200, deadline=None)
+def test_derive_n_planes_properties(n, target):
+    """Plane derivation (r4): always within clamps, monotone in n, and
+    the implied bucket width lands within 2x of target when unclamped."""
+    from rml_utils_processor_ts_spark.operators.similarity import derive_n_planes
+
+    p = derive_n_planes(n, target_bucket=target)
+    assert 4 <= p <= 24
+    assert derive_n_planes(n * 2, target_bucket=target) >= p
+    if 4 < p < 24:
+        assert n / 2**p <= target  # bucket never wider than target...
+        assert n / 2 ** (p - 1) > target  # ...and p is the smallest such
+
+
+@given(
+    st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False), min_size=8, max_size=8),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_probe_buckets_properties(vec, n_probe):
+    """Multi-probe (r4): first bucket is the base signature, buckets are
+    distinct, count == min(n_probe, planes+1), each flip is Hamming-1."""
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        _hyperplanes,
+        py_bucket_of,
+        py_probe_buckets,
+    )
+
+    planes = _hyperplanes(8, 6, 42)
+    buckets = py_probe_buckets(vec, planes, n_probe)
+    assert buckets[0] == py_bucket_of(vec, planes)
+    assert len(buckets) == min(n_probe, len(planes) + 1)
+    assert len(set(buckets)) == len(buckets)
+    for b in buckets[1:]:
+        assert sum(x != y for x, y in zip(b, buckets[0])) == 1
+
+
+def _normalize_one(spark, url: str) -> str:
+    from pyspark.sql import functions as F
+
+    from rml_utils_processor_ts_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(normalize_url(F.col("url")).alias("n")).collect()[0]["n"]
+
+
+def test_normalize_url_idempotent_sample(spark):
+    """normalize . normalize == normalize over a deterministic sample of
+    messy URL shapes (full hypothesis-per-row would spawn a Spark job
+    per example; a curated batch keeps it one job)."""
+    from pyspark.sql import functions as F
+
+    from rml_utils_processor_ts_spark.operators.web import normalize_url
+
+    urls = [
+        "HTTPS://User:PW@WWW.Ex.COM:443/a/b/?utm_source=x&q=1#f",
+        "http://[2001:DB8::1]:8080/p?a=1",
+        "ftp://Files.Example.ORG/x/",
+        "http://ex.com",
+        "http://ex.com:80",
+        "https://ex.com:80/x",  # non-default port for scheme kept
+        "no-scheme-at-all",
+        "http://@ex.com/x",  # empty userinfo
+        "http://ex.com/?",
+        "http://ex.com/a//b///",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    df2 = spark.createDataFrame([(u,) for u in once], "url string")
+    twice = [r["n"] for r in df2.select(normalize_url(F.col("url")).alias("n")).collect()]
+    assert once == twice
