@@ -860,9 +860,12 @@ def q_rml_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nation table is materialized as a ';'-delimited CSV file, read
     back through the csvw dialect logical source, and projected to
     triples; the oracle derives the same values from nation directly."""
+    import hashlib as _hashlib
     import os as _os
 
-    mark = f"/tmp/rml_csv_gate_{abs(hash(sf_dir)) % 10**8}.csv"
+    # md5, not hash(): str hash is salted per process, which would mint
+    # a new temp file per run instead of reusing one per sf_dir
+    mark = f"/tmp/rml_csv_gate_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.csv"
     if not _os.path.exists(mark):
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
         pdf = nation.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").toPandas()
