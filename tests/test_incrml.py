@@ -12,6 +12,7 @@ from rml_utils_processor_ts_spark.plans.incrml import (
     IncRMLConfig,
     IncRMLError,
     LDESTargetConfig,
+    LifeCycleConfig,
     expand_to_incrml,
 )
 from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
@@ -369,3 +370,126 @@ def test_config_shape_validation_names_fields():
 
     with pytest.raises(ConfigShapeError, match="state_base_path"):
         expand_to_incrml(MappingPlan(triples_maps=[]), IncRMLConfig(state_base_path=""))
+
+
+def _tm(i, source, template, graph=None):
+    g = f'rr:graphMap [ a rr:GraphMap ; rr:constant <{graph}> ] ' if graph else ""
+    sep = "; " if graph else ""
+    return f"""
+<http://ex.org/m{i}> a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "{source}" ;
+        rml:iterator "//Data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "{template}" {sep}{g}]"""
+
+
+def _tm_fn(i, source, template, graph=None):
+    g = f'rr:graphMap [ a rr:GraphMap ; rr:constant <{graph}> ] ; ' if graph else ""
+    return f"""
+<http://ex.org/ls{i}> a rml:LogicalSource ;
+    rml:source "{source}" ; rml:iterator "//Data" ; rml:referenceFormulation ql:XPath .
+
+<http://ex.org/m{i}> a rr:TriplesMap ;
+    rml:logicalSource <http://ex.org/ls{i}> ;
+    rr:subjectMap [ a rr:FunctionTermMap ;
+        {g}fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ;
+                rr:objectMap [ rr:constant idlab-fn:trueCondition ; rr:termType rr:IRI ] ] ;
+            rr:predicateObjectMap [ rr:predicateMap [ rr:constant idlab-fn:strBoolean ] ;
+                rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+                    rr:predicateObjectMap [ rr:predicate fno:executes ;
+                        rr:objectMap [ rr:constant idlab-fn:notEqual ; rr:termType rr:IRI ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:valueParameter ;
+                        rr:objectMap [ rml:reference "Property/@Value" ; rr:termType rr:Literal ] ] ;
+                    rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ;
+                        rr:objectMap [ rr:constant "" ; rr:termType rr:Literal ] ]
+                ] ] ] ;
+            rr:predicateObjectMap [ rr:predicate idlab-fn:str ;
+                rr:objectMap [ rr:template "{template}" ] ]
+        ]
+    ]"""
+
+
+def _pom(predicate, kind, value):
+    return f"""
+    rr:predicateObjectMap [ a rr:PredicateObjectMap ;
+        rr:predicateMap [ a rr:PredicateMap ; rr:constant <{predicate}> ] ;
+        rr:objectMap [ a rr:ObjectMap ; {kind} {value} ] ]"""
+
+
+def _poms(n):
+    return (
+        " ;" + _pom("http://ex.org/ns/type", "rr:template", f'"http://ex.org/instance/{{AnotherProperty{n}/@Value}}"')
+        + " ;" + _pom("http://ex.org/ns/someProperty", "rr:constant", '"Some Value"')
+        + " ;" + _pom("http://ex.org/ns/someOtherProperty", "rml:reference", f'"YetAnotherProperty{n}/@Value"')
+        + " ."
+    )
+
+
+def test_incrml_matrix_21_tms_parity():
+    """Replay of the reference's heaviest grouping scenario
+    (test/incrml.test.ts:907-1090): 4 mapping documents with 8 TMs
+    (plain + FnO-conditional subjects, same/different source, template,
+    graph) expanded independently with versioned-IRI LDES targets.
+    Reference assertions: 21 expanded TriplesMaps, 7 per lifecycle
+    event, 18 DISTINCT state paths (the (data1, Property1, graph1)
+    group recurs in two documents and must share state), the exact
+    watched-property concat strings including the merged 4-property
+    fingerprint, and every subject map routed to the LDES target."""
+    g1 = "http://ex.org/graph1"
+    m1 = _tm(0, "dataset/data1.xml", "http://ex.org/instances/{Property1/@Value}", g1) + _poms(1)
+    m2 = (
+        _tm(0, "dataset/data2.xml", "http://ex.org/instances/{Property2/@Value}", g1) + _poms(2)
+        + _tm_fn(1, "dataset/data2.xml", "http://ex.org/instances/{Property2.5/@Value}") + _poms("2.5")
+    )
+    m3 = (
+        _tm_fn(0, "dataset/data1.xml", "http://ex.org/instances/{Property3/@Value}") + _poms(3)
+        + _tm_fn(1, "dataset/data1.xml", "http://ex.org/instances/{Property1/@Value}", g1) + _poms(3)
+    )
+    m4 = (
+        _tm(0, "dataset/data3.xml", "http://ex.org/instances/{Property1/@Value}") + _poms(1)
+        + _tm(1, "dataset/data1.xml", "http://ex.org/instances/{Property1/@Value}", g1) + _poms(4)
+        + _tm(2, "dataset/data1.xml", "http://ex.org/instances/{Property1/@Value}", g1) + _poms(1)
+    )
+
+    cfg = IncRMLConfig(
+        state_base_path=".",
+        lifecycle=LifeCycleConfig(predicate="http://ex.org/ns/lifeCycleProperty"),
+        target=LDESTargetConfig(
+            target_path="./output.ttl",
+            serialization="http://www.w3.org/ns/formats/Turtle",
+            unique_iris=True,
+        ),
+    )
+    expanded = [expand_to_incrml(parse_mapping(doc), cfg) for doc in (m1, m2, m3, m4)]
+    tms = [tm for plan in expanded for tm in plan.triples_maps]
+    assert len(tms) == 21
+
+    by_event = {"Create": 0, "Update": 0, "Delete": 0}
+    states = set()
+    watched = []
+    for tm in tms:
+        fn = tm.subject_map.term_map.function
+        assert fn is not None
+        states.add(fn.params[voc.IDLAB_STATE].constant)
+        lc = [p.object.constant for p in tm.predicate_object_maps
+              if p.predicate.constant == "http://ex.org/ns/lifeCycleProperty"]
+        assert len(lc) == 1
+        by_event[lc[0].rsplit("#", 1)[-1]] += 1
+        w = fn.params.get(voc.IDLAB_WATCHED_PROPERTY)
+        if w is not None:
+            watched.append(w.reference)
+        lt = tm.subject_map.logical_target
+        assert lt is not None and lt.is_ldes and lt.ldes_immutable_iri
+        assert lt.serialization == "http://www.w3.org/ns/formats/Turtle"
+    assert by_event == {"Create": 7, "Update": 7, "Delete": 7}
+    assert len(states) == 18  # 7 groups x 3 events, minus the shared group
+
+    def wp(n):
+        return f"('prop0=' || AnotherProperty{n}/@Value || '&' || 'prop1=' || YetAnotherProperty{n}/@Value)"
+
+    assert wp(1) in watched and wp(2) in watched and wp("2.5") in watched
+    assert watched.count(wp(3)) == 2  # both mapping3 groups watch the same props
+    assert (
+        "('prop0=' || AnotherProperty4/@Value || '&' || 'prop1=' || YetAnotherProperty4/@Value"
+        " || '&' || 'prop2=' || AnotherProperty1/@Value || '&' || 'prop3=' || YetAnotherProperty1/@Value)"
+    ) in watched
