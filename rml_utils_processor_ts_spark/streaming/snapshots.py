@@ -48,10 +48,16 @@ class SnapshotRunner:
 
     def add_mapping(self, mapping_turtle: str) -> str:
         """Register a mapping; content-hash key dedupes re-pushed docs
-        (the md5 registry analog, rml.ts:97-101)."""
+        (the md5 registry analog, rml.ts:97-101). Registering also
+        drains: data may arrive BEFORE the mapping (the reference's
+        'data input arriving before mappings' scenario,
+        /root/reference/test/rml.test.ts:515-574, where the mapping
+        stream's end triggers execution over already-buffered
+        snapshots) — runs land in ``self.results``."""
         plan = parse_mapping(mapping_turtle, add_prefixes=True)
         key = plan.plan_hash()
         self.plans[key] = plan
+        self._drain()
         return key
 
     def declared_sources(self) -> set[str]:

@@ -229,3 +229,16 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
     # bounded input must close (nearly) all of them
     assert s and s <= b
     assert len(s) >= 0.9 * len(b)
+
+
+def test_data_arrives_before_mapping(spark):
+    """≙ rml.test.ts:515-574 — the source snapshot is pushed BEFORE the
+    mapping document; registering the mapping must drain the buffered
+    snapshot and execute (previously the data sat buffered until a
+    further push)."""
+    runner = SnapshotRunner(spark)
+    assert runner.push_snapshot("dataset/data.xml", XML_DOC) == []
+    assert runner.results == []
+    runner.add_mapping(RML_BASIC.format(source="dataset/data.xml"))
+    assert len(runner.results) == 1
+    assert (EX + "001", "some data") in labels(runner.results[0])
