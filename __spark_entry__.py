@@ -889,6 +889,33 @@ ex:m a rr:TriplesMap ;
     return res.triples.select("s", "p", "o")
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (round 4): duplicate-line
+    fraction + top-bigram fraction per document. The synthetic docs are
+    single-line, so ' table ' splits them into pseudo-lines (the same
+    trick as paragraph_dedup) to exercise the dup-line path."""
+    from rml_utils_processor_ts_spark.operators.text import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs, line_delimiter=" table ")
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 4): the benchmark set is the
+    first 25 tokens of every 97th document (deterministic, guaranteed
+    overlaps); each (doc, bench) pair reports distinct 5-gram overlap. The
+    corpus side never shuffles — benchmark grams broadcast."""
+    from rml_utils_processor_ts_spark.operators.contamination import contamination_report
+    from rml_utils_processor_ts_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 25), " ").alias("text"),
+    )
+    return contamination_report(docs, bench, k=5)
+
+
 YARRRML_COND_DOC = """
 prefixes:
     ex: "http://example.org/"
@@ -992,6 +1019,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_jsonpath_filter": q_rml_jsonpath_filter,
     "skew_split_join": q_skew_split_join,
     "rml_csv_dialect": q_rml_csv_dialect,
+    "repetition_signals": q_repetition_signals,
+    "contamination_check": q_contamination_check,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
@@ -1508,6 +1537,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS VARCHAR) AS o
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
+        """,
+        "repetition_signals": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(text, ' table '),
+                                      s -> trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))),
+                       s -> length(s) > 0) AS lines,
+                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), ls AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     round(CASE WHEN len(lines) > 0
+                           THEN 1 - len(list_distinct(lines)) / len(lines)
+                           ELSE 0.0 END, 6) AS dup_line_fraction
+              FROM d
+            ), pos AS (
+              SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d
+            ), grams AS (
+              SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg FROM pos
+            ), counts AS (
+              SELECT doc_id, bg, count(*) AS c FROM grams GROUP BY 1, 2
+            ), tops AS (
+              SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+              FROM counts GROUP BY 1
+            )
+            SELECT ls.doc_id, ls.n_lines, ls.dup_line_fraction,
+                   coalesce(t.n_bigrams, 0) AS n_bigrams,
+                   round(coalesce(t.top_c / t.n_bigrams, 0.0), 6) AS top_bigram_fraction
+            FROM ls LEFT JOIN tops t ON ls.doc_id = t.doc_id
+        """,
+        "contamination_check": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), bench AS (
+              SELECT doc_id AS bench_id, w[1:25] AS bw FROM t WHERE doc_id % 97 = 0
+            ), bpos AS (
+              SELECT bench_id, bw, unnest(range(1, len(bw) - 3)) AS i FROM bench
+            ), bg AS (
+              SELECT DISTINCT bench_id, md5(array_to_string(bw[i:i+4], ' ')) AS gram FROM bpos
+            ), bsize AS (
+              SELECT bench_id, count(*) AS bench_grams FROM bg GROUP BY 1
+            ), dpos AS (
+              SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM t
+            ), dg AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS gram FROM dpos
+            ), m AS (
+              SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS matched_grams
+              FROM dg JOIN bg USING (gram) GROUP BY 1, 2
+            )
+            SELECT m.doc_id, m.bench_id, m.matched_grams,
+                   CAST(b.bench_grams AS BIGINT) AS bench_grams,
+                   m.matched_grams / b.bench_grams AS fraction
+            FROM m JOIN bsize b ON m.bench_id = b.bench_id
         """,
         "skew_split_join": """
             SELECT o.o_orderstatus, count(*) AS n_rows,

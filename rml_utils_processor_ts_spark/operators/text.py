@@ -230,3 +230,75 @@ def quality_filter(
         "keep",
         F.col("len_ok") & F.col("word_len_ok") & F.col("symbols_ok") & F.col("stopwords_ok"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_delimiter: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    * ``dup_line_fraction`` — 1 - distinct(lines)/lines (normalized,
+      case-folded lines split on ``line_delimiter``): boilerplate and
+      templated pages repeat lines.
+    * ``top_bigram_fraction`` — occurrences of the most frequent token
+      bigram over all bigram slots: degenerate generations and spam
+      repeat short phrases.
+
+    The line statistic is pure per-row Column math (zero shuffle); the
+    bigram mode needs a (doc, bigram) count -> per-doc max, one
+    map-side-combined Exchange keyed by doc+bigram and a second tiny one
+    per doc — both scale linearly and skew-free (the doc id is in every
+    key). Output: doc_id, n_lines, dup_line_fraction, n_bigrams,
+    top_bigram_fraction.
+    """
+    import re as _re
+
+    col = F.col(text_col)
+    lines = F.filter(
+        F.transform(
+            F.split(col, _re.escape(line_delimiter)),
+            lambda s: F.trim(F.regexp_replace(F.lower(s), r"\s+", " ")),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_frac = F.when(n_lines > 0, 1 - F.size(F.array_distinct(lines)) / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        F.round(dup_frac, 6).alias("dup_line_fraction"),
+    )
+
+    toks = tokens(col)
+    n = F.size(toks)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        )
+    )
+    counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    tops = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+    return (
+        per_doc.join(tops, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_fraction",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_fraction"),
+        )
+    )

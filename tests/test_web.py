@@ -117,3 +117,54 @@ def test_quality_filter_flags(spark):
     assert rows[1]["keep"] is True
     assert rows[2]["keep"] is False and rows[2]["symbols_ok"] is False
     assert rows[3]["keep"] is False and rows[3]["len_ok"] is False
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition: duplicate lines and a dominant bigram
+    are measured exactly; a clean doc scores near zero."""
+    from rml_utils_processor_ts_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Buy now\nbuy NOW\nunique line"),       # 3 lines, 2 distinct after fold
+            (2, "spam spam spam spam"),                  # top bigram 'spam spam' = 3/3
+            (3, "a clean sentence with no repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert rows[1]["n_lines"] == 3
+    assert abs(rows[1]["dup_line_fraction"] - (1 - 2 / 3)) < 1e-6
+    assert rows[2]["top_bigram_fraction"] == 1.0 and rows[2]["n_bigrams"] == 3
+    assert rows[3]["dup_line_fraction"] == 0.0
+    assert rows[3]["top_bigram_fraction"] < 0.5
+
+
+def test_contamination_report_and_decontaminate(spark):
+    """Benchmark k-gram decontamination: a doc embedding a benchmark
+    item verbatim is flagged at fraction 1.0; partial overlap scores
+    proportionally; clean docs survive decontaminate."""
+    from rml_utils_processor_ts_spark.operators.contamination import (
+        contamination_report,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+            (2, "the quick brown fox sat still"),  # shares only a 4-gram prefix
+            (3, "completely unrelated text about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in contamination_report(docs, bench, k=4).collect()}
+    # benchmark has 9 tokens -> 6 distinct 4-grams; doc 1 contains all
+    assert rep[1]["bench_grams"] == 6 and rep[1]["fraction"] == 1.0
+    assert rep[2]["matched_grams"] == 1 and abs(rep[2]["fraction"] - 1 / 6) < 1e-9
+    assert 3 not in rep
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, k=4, min_fraction=0.8).collect()}
+    assert kept == {2, 3}
