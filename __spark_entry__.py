@@ -916,6 +916,47 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(docs, bench, k=5)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling over the documents table's
+    ``source`` column (corpus mixing: keep all of src0, half of src1,
+    none of src2, a quarter of everything else) — md5 thresholds, so
+    the DuckDB twin reproduces membership exactly."""
+    from rml_utils_processor_ts_spark.operators.corpus import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5, "src2": 0.0}, default_rate=0.25
+    )
+    return out.select("doc_id", "source")
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate: deterministic emails / IPv4s / phone-shaped
+    runs are appended to each document from doc_id, then redacted; the
+    oracle runs the SAME regex chain (patterns valid in both Java regex
+    and RE2) and must agree on every count and on the md5 of the
+    redacted text."""
+    from rml_utils_processor_ts_spark.operators.web import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ph +1 (555) 000-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    red = redact_pii(salted)
+    return red.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("text").alias("text_md5")
+    )
+
+
 YARRRML_COND_DOC = """
 prefixes:
     ex: "http://example.org/"
@@ -1021,6 +1062,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_csv_dialect": q_rml_csv_dialect,
     "repetition_signals": q_repetition_signals,
     "contamination_check": q_contamination_check,
+    "stratified_sample": q_stratified_sample,
+    "pii_redaction": q_pii_redaction,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
@@ -1537,6 +1580,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS VARCHAR) AS o
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CASE source
+                    WHEN 'src0' THEN TRUE
+                    WHEN 'src1' THEN substring(md5('s1|' || doc_id), 1, 4) < '8000'
+                    WHEN 'src2' THEN FALSE
+                    ELSE substring(md5('s1|' || doc_id), 1, 4) < '4000'
+                  END
+        """,
+        "pii_redaction": """
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com or 10.0.'
+                          || (doc_id % 256) || '.7 ph +1 (555) 000-' || (1000 + doc_id % 9000) AS t
+              FROM documents
+            ), r1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+              FROM s
+            ), r2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+                     regexp_replace(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g') AS t
+              FROM r1
+            ), r3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) AS n_phone,
+                     regexp_replace(t, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS t
+              FROM r2
+            )
+            SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_ipv4 AS INT) AS n_ipv4,
+                   CAST(n_phone AS INT) AS n_phone, md5(t) AS text_md5
+            FROM r3
         """,
         "repetition_signals": """
             WITH d AS (

@@ -185,3 +185,44 @@ def session_stats(
     return s.groupBy(user_col, "session_idx").agg(
         *_session_aggs(F.col(ts_col).cast("timestamp"), value_col)
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "s1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (corpus mixing: keep 100% of
+    one domain/language, 10% of another). Same md5 content-hash rule as
+    ``hash_sample`` — reproducible across runs/engines and monotone in
+    rate (raising a stratum's rate only ADDS rows) — with the threshold
+    chosen per row from the stratum column. Unlike ``DataFrame.sampleBy``
+    this is seed-stable across partitionings and resumable."""
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for stratum {stratum!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+
+    def thr(rate: float) -> str:
+        return format(min(int(rate * 0x10000), 0xFFFF), "04x")
+
+    threshold = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == s, F.lit(thr(r)))
+            for s, r in sorted(rates.items())
+        ],
+        F.lit(thr(default_rate)),
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(seed + "|"), F.col(key_col).cast("string"))), 1, 4
+    )
+    # rate 1.0 strata keep everything (hex compare tops out at 'ffff')
+    full = F.coalesce(
+        *[F.when(F.col(strata_col) == s, F.lit(r >= 1.0)) for s, r in sorted(rates.items())],
+        F.lit(default_rate >= 1.0),
+    )
+    return df.filter(full | (bucket < threshold))

@@ -160,3 +160,36 @@ def paragraph_dedup_groups(
     return paras.groupBy(F.md5("norm").alias("para_hash")).agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
     )
+
+
+# PII patterns valid and equivalent in BOTH Java regex (Spark) and RE2
+# (DuckDB) — the gated query's oracle runs the same literals
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Corpus scrubbing: replace emails / IPv4 addresses / phone-shaped
+    digit runs with typed placeholder tokens (``<EMAIL>``...), counting
+    each kind for audit. Pure regexp_replace/regexp_count chain —
+    whole-stage codegen, zero shuffle, and order-stable (kinds apply in
+    the given order, so an email never double-counts as a phone).
+    Output: doc_id, redacted text, n_<kind> per kind."""
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; known: {sorted(PII_PATTERNS)}")
+    out = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{kind}"))
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.select(F.col(id_col).alias("doc_id"), *counts, out.alias("text"))

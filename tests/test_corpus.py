@@ -89,3 +89,49 @@ def test_sessionize_matches_builtin_session_window(spark):
     )
     assert ours == builtin
     assert len(ours) > 100  # real session structure, not one blob
+
+
+def test_stratified_hash_sample(spark):
+    """Per-stratum deterministic sampling: rate-1.0 strata keep all,
+    rate-0 strata drop all, fractional strata track their rate, and the
+    sample is stable across calls + monotone in rate."""
+    from rml_utils_processor_ts_spark.operators.corpus import stratified_hash_sample
+
+    df = spark.range(12_000).select(
+        F.col("id").alias("k"), (F.pmod(F.col("id"), F.lit(3))).cast("string").alias("s")
+    )
+    rates = {"0": 1.0, "1": 0.5, "2": 0.0}
+    out = stratified_hash_sample(df, "k", "s", rates)
+    by_s = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by_s["0"] == 4000
+    assert "2" not in by_s
+    assert 1700 < by_s["1"] < 2300
+    again = stratified_hash_sample(df, "k", "s", rates)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # monotone: raising stratum 1's rate only adds rows
+    bigger = stratified_hash_sample(df, "k", "s", {"0": 1.0, "1": 0.8, "2": 0.0})
+    s1 = {r["k"] for r in out.filter(F.col("s") == "1").collect()}
+    s1_big = {r["k"] for r in bigger.filter(F.col("s") == "1").collect()}
+    assert s1 <= s1_big
+
+
+def test_redact_pii(spark):
+    from rml_utils_processor_ts_spark.operators.web import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@sub.example.org now"),
+            (2, "server at 192.168.001.7 port open"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text with no pii at all"),
+            (5, "two mails a@b.co and c@d.io plus 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["n_email"] == 1 and "<EMAIL>" in rows[1]["text"]
+    assert "alice" not in rows[1]["text"]
+    assert rows[2]["n_ipv4"] == 1 and "<IPV4>" in rows[2]["text"]
+    assert rows[3]["n_phone"] == 1 and "<PHONE>" in rows[3]["text"]
+    assert rows[4]["text"] == "clean text with no pii at all"
+    assert rows[5]["n_email"] == 2 and rows[5]["n_ipv4"] == 1
