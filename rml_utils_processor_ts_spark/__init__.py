@@ -53,3 +53,27 @@ def get_spark(app_name: str = "rml_spark", cpus: str | None = None):
         os.makedirs(shm, exist_ok=True)
         builder = builder.config("spark.local.dir", shm)
     return builder.getOrCreate()
+
+
+_LAZY_EXPORTS = {
+    "execute_mapping": ("operators.executor", "execute_mapping"),
+    "PlanExecutor": ("operators.executor", "PlanExecutor"),
+    "parse_mapping": ("plans.rml_parser", "parse_mapping"),
+    "yarrrml_to_plan": ("plans.yarrrml", "yarrrml_to_plan"),
+    "plan_to_rml": ("plans.serializer", "plan_to_rml"),
+    "yarrrml2rml": ("plans.serializer", "yarrrml2rml"),
+    "rml2incrml": ("plans.serializer", "rml2incrml"),
+    "expand_to_incrml": ("plans.incrml", "expand_to_incrml"),
+    "StateBackend": ("state", "StateBackend"),
+}
+
+
+def __getattr__(name: str):
+    """Lazy top-level API (PEP 562): the common entry points import on
+    first use without paying submodule import cost at package import."""
+    if name in _LAZY_EXPORTS:
+        import importlib
+
+        mod_name, attr = _LAZY_EXPORTS[name]
+        return getattr(importlib.import_module(f".{mod_name}", __name__), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
