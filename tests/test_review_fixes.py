@@ -297,3 +297,55 @@ def test_microbatch_replay_is_idempotent(spark, tmp_path):
     )
     r2 = runner.process_batch(batch2, 1)
     assert r2 is not None and len(runner.results) == 2
+
+
+def test_ivf_index_matches_adhoc_and_prunes(spark, tmp_path):
+    """Persisted IVF index (round 4 — the scale path the ad-hoc form's
+    measured cost demands): index queries return exactly the ad-hoc
+    ivf_ann_topk results, the candidate read is partition-pruned to the
+    probed cells, and external query vectors route via the driver-side
+    cell-ranking twin."""
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_index_topk,
+        pseudo_random_centroids,
+        py_cell_ranking,
+        write_ivf_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    cents = pseudo_random_centroids(dim, 8)
+    path = str(tmp_path / "ivf_idx")
+    meta = write_ivf_index(emb, path, centroids=cents)
+    assert meta["n_cells"] == 8
+
+    queries = [0, 1, 2, 3]
+    adhoc = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, queries, k=5, n_probe=3, centroids=cents).collect()
+    }
+    indexed_df = ivf_index_topk(spark, path, queries, k=5, n_probe=3)
+    indexed = {
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in indexed_df.collect()
+    }
+    assert indexed == adhoc and len(indexed) > 0
+
+    # partition pruning: the scan must touch only the probed cells
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    q_rows = (
+        spark.read.parquet(path).filter(F.col("id").isin(queries)).select("v").collect()
+    )
+    probed = sorted({c for r in q_rows for c in py_cell_ranking(list(r["v"]), cents, 3)})
+    import re
+
+    m = re.search(r"partition filters: \[?[^\n]*cell", plan, re.IGNORECASE)
+    assert m is not None or "PartitionFilters" in plan, plan[:2000]
+
+    # external query vectors (no self-exclusion)
+    vec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    ext = ivf_index_topk(spark, path, k=3, query_vectors=[(999_999, vec)]).collect()
+    assert ext and ext[0]["neighbor_id"] == 0  # its own twin ranks first
