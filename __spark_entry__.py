@@ -635,6 +635,33 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=4, centroids=cents)
 
 
+def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVF-index query path (round 4): same centroids and
+    probes as ann_ivf_topk but answered from a cell-partitioned index
+    with a pruned read — result-identical by construction, so it shares
+    that query's SQL twin (the oracle gates the whole
+    assign→persist→rank→prune→score chain)."""
+    import tempfile
+
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        ivf_index_topk,
+        pseudo_random_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = pseudo_random_centroids(64, 16, seed=7)
+    import hashlib as _hashlib
+    import os as _os
+
+    base = "/dev/shm" if _os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    path = f"{base}/ivf_gate_index_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    write_ivf_index(emb, path, centroids=cents)
+    return ivf_index_topk(spark, path, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=4)
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation (hot-key guard) — must equal the
     plain GROUP BY the oracle runs."""
@@ -1054,6 +1081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incrml_expansion": q_incrml_expansion,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "rml_xpath_predicates": q_rml_xpath_predicates,
     "rml_sql_query": q_rml_sql_query,
     "rml_grel_functions": q_rml_grel_functions,
@@ -1901,6 +1929,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        # the index path is result-identical by construction — same twin
+        "ann_ivf_index_topk": _ann_ivf_sql(),
         "text_profile": _TEXT_PROFILE_SQL,
         "events_window_agg": """
             SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
