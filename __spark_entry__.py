@@ -473,6 +473,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_planes=6)
 
 
+def q_ann_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-LSH-index query path with the same planes/queries
+    as ann_lsh_topk (single probe) — result-identical by construction,
+    sharing that query's SQL twin: the gate covers the bucket/persist/
+    prune/score chain."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile
+
+    from rml_utils_processor_ts_spark.operators.similarity import (
+        lsh_index_topk,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    base = "/dev/shm" if _os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    path = f"{base}/lsh_gate_index_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    write_lsh_index(emb, path, n_planes=6)
+    return lsh_index_topk(spark, path, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
 def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL normalization + exact dedup on the canonical form (web-corpus
     hygiene). The documents table has no URL column, so deterministic
@@ -1080,6 +1103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_target_routing": q_multi_target_routing,
     "incrml_expansion": q_incrml_expansion,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_index_topk": q_ann_lsh_index_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "rml_xpath_predicates": q_rml_xpath_predicates,
@@ -1928,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _emb_lsh_sql(threshold=0.3, n_bands=2),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_lsh_index_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         # the index path is result-identical by construction — same twin
         "ann_ivf_index_topk": _ann_ivf_sql(),
