@@ -1007,6 +1007,29 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic HTML->text extraction gate (round 4): each document's
+    text is wrapped in a deterministic HTML page (script/style/comment
+    blocks, entities, block tags) and run through the pure-regexp
+    extractor; the oracle replays the same chain in DuckDB and must
+    match the md5 of every extracted text."""
+    from rml_utils_processor_ts_spark.sources.pages import html_to_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit('<html><head><title>D</title><style>p{color:red}</style><script>var a="'),
+        F.col("doc_id").cast("string"),
+        F.lit('";</script></head><body><!-- c --><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><br><div>tail &amp; &lt;end&gt;</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id", F.md5(html_to_text(html)).alias("text_md5")
+    )
+
+
 YARRRML_COND_DOC = """
 prefixes:
     ex: "http://example.org/"
@@ -1115,6 +1138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "contamination_check": q_contamination_check,
     "stratified_sample": q_stratified_sample,
+    "html_extract": q_html_extract,
     "pii_redaction": q_pii_redaction,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
@@ -1632,6 +1656,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS VARCHAR) AS o
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
+        """,
+        "html_extract": """
+            WITH s0 AS (
+              SELECT doc_id,
+                     '<html><head><title>D</title><style>p{color:red}</style><script>var a="'
+                     || doc_id || '";</script></head><body><!-- c --><h1>Doc ' || doc_id
+                     || '</h1><p>' || text || '</p><br><div>tail &amp; &lt;end&gt;</div></body></html>' AS t
+              FROM documents
+            )
+            , s1 AS (
+              SELECT doc_id, regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS t FROM s0
+            )
+            , s2 AS (
+              SELECT doc_id, regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS t FROM s1
+            )
+            , s3 AS (
+              SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2
+            )
+            , s4 AS (
+              SELECT doc_id, regexp_replace(t, '(?i)<(?:br|hr)\\s*/?>', chr(10), 'g') AS t FROM s3
+            )
+            , s5 AS (
+              SELECT doc_id, regexp_replace(t, '(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article|header|footer)\\s*>', chr(10), 'g') AS t FROM s4
+            )
+            , s6 AS (
+              SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s5
+            )
+            , s7 AS (
+              SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s6
+            )
+            , s8 AS (
+              SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s7
+            )
+            , s9 AS (
+              SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM s8
+            )
+            , s10 AS (
+              SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM s9
+            )
+            , s11 AS (
+              SELECT doc_id, regexp_replace(t, '&apos;', chr(39), 'g') AS t FROM s10
+            )
+            , s12 AS (
+              SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s11
+            )
+            , s13 AS (
+              SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM s12
+            )
+            , s14 AS (
+              SELECT doc_id, regexp_replace(t, '[ \\t\\x0b\\f\\r]+', ' ', 'g') AS t FROM s13
+            )
+            , s15 AS (
+              SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s14
+            )
+            , s16 AS (
+              SELECT doc_id, regexp_replace(t, '\\n{2,}', chr(10), 'g') AS t FROM s15
+            )
+            SELECT doc_id, md5(trim(t)) AS text_md5 FROM s16
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM documents

@@ -85,3 +85,54 @@ def extract_text(pages: DataFrame) -> DataFrame:
 
 def write_pages(spark: SparkSession, path: str, n_pages: int, **kw) -> None:
     synth_pages(spark, n_pages, **kw).write.mode("overwrite").parquet(path)
+
+
+# common character entities decoded by html_to_text; amp LAST so
+# "&amp;lt;" decodes to "&lt;" (literal), not "<" (double-decode)
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(html_col):
+    """Generic HTML -> visible-text extraction for REAL web pages (the
+    synthetic pages use the marker-based ``extract_text``): drop
+    script/style/comment blocks, turn block-level closers and <br> into
+    newlines, strip remaining tags, decode common entities, collapse
+    horizontal whitespace, trim. A pure ``regexp_replace`` chain —
+    whole-stage codegen, zero shuffle, no per-row Python — with RE2-safe
+    patterns so a DuckDB oracle replays it byte-for-byte. (This is the
+    C4/CCNet-grade heuristic extractor, not a DOM renderer; boilerplate
+    removal beyond script/style belongs to the quality/repetition
+    filters downstream.)"""
+    t = html_col
+    if str(t.__class__.__name__) != "Column":
+        t = F.col(t)
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?i)<(?:br|hr)\s*/?>", "\n")
+    t = F.regexp_replace(t, r"(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article|header|footer)\s*>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    # collapse horizontal whitespace, keep newlines; then collapse
+    # newline runs and trim each line's edges
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.trim(t)
+
+
+def extract_visible_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """``html:binary`` -> UTF-8 decode -> :func:`html_to_text`, the
+    generic-page twin of ``extract_text``."""
+    return pages.withColumn(
+        "extracted_text", html_to_text(F.decode(F.col(html_col), "UTF-8"))
+    )

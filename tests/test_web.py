@@ -168,3 +168,28 @@ def test_contamination_report_and_decontaminate(spark):
     assert 3 not in rep
     kept = {r["doc_id"] for r in decontaminate(docs, bench, k=4, min_fraction=0.8).collect()}
     assert kept == {2, 3}
+
+
+def test_html_to_text_extraction(spark):
+    """Generic HTML visible-text extraction: scripts/styles/comments
+    dropped, block closers become newlines, entities decode (amp last —
+    '&amp;lt;' stays a literal '&lt;'), whitespace collapses."""
+    from rml_utils_processor_ts_spark.sources.pages import html_to_text
+
+    html = (
+        "<html><head><title>T</title><style>p { color: red }</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- hidden --><h1>Header</h1>"
+        "<p>Para one with &amp; and &lt;tags&gt; and &amp;lt;escaped&amp;gt;.</p>"
+        "<div>Block<br>break</div>"
+        "<ul><li>item one</li><li>item two</li></ul>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    out = df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
+    assert "color: red" not in out and "var x" not in out and "hidden" not in out
+    assert "Para one with & and <tags> and &lt;escaped&gt;." in out
+    assert "Header\n" in out  # h1 closer -> newline
+    assert "Block\nbreak" in out  # <br> -> newline
+    assert "item one\nitem two" in out
+    assert "  " not in out and "\n\n" not in out
