@@ -87,7 +87,9 @@ def _parse_function(g: Graph, fn_node: Term) -> FunctionCall:
             executes = g.object(obj_node, voc.RR_CONSTANT)
             if executes is None:
                 raise MappingParseError("fno:executes without rr:constant")
-            function_iri = executes.value
+            # both idlab-fn namespace spellings resolve to the
+            # canonical constants (voc.canonical_function_iri)
+            function_iri = voc.canonical_function_iri(executes.value)
         else:
             parent_tm_node = g.object(obj_node, voc.RR_PARENT_TERM_MAP)
             if parent_tm_node is not None:
@@ -99,7 +101,7 @@ def _parse_function(g: Graph, fn_node: Term) -> FunctionCall:
             # repeated parameters (grel:p_array_a appears once per element
             # of an array_join, /root/reference/src/rml/incrml.ts:496-507)
             # get positional '#N' suffixes instead of clobbering each other
-            key = pred_term.value
+            key = voc.canonical_function_iri(pred_term.value)
             if key in params:
                 n = 1
                 while f"{key}#{n}" in params:

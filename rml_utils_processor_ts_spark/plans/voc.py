@@ -14,6 +14,20 @@ QL = "http://semweb.mmlab.be/ns/ql#"
 FNML = "http://semweb.mmlab.be/ns/fnml#"
 FNO = "https://w3id.org/function/ontology#"
 IDLAB_FN = "http://example.com/idlab/function/"
+# the IDLab function namespace has TWO historical spellings: the
+# reference's voc.ts + test fixtures use the w3id form
+# (/root/reference/src/voc.ts:103, test/rml.test.ts:18) while its README
+# example uses the example.com form (README.md:50). Parsed IRIs are
+# canonicalized to IDLAB_FN so both work in mapping documents.
+IDLAB_FN_W3ID = "https://w3id.org/imec/idlab/function#"
+
+
+def canonical_function_iri(iri: str) -> str:
+    """Normalize alternate function-namespace spellings to the canonical
+    constants the registry/CDC detection compare against."""
+    if iri.startswith(IDLAB_FN_W3ID):
+        return IDLAB_FN + iri[len(IDLAB_FN_W3ID):]
+    return iri
 GREL = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
 RMLT = "http://semweb.mmlab.be/ns/rml-target#"
 LDES = "https://w3id.org/ldes#"

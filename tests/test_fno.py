@@ -154,3 +154,57 @@ def test_idlab_slugify(spark):
         'rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rr:constant "  Héllo,  World! " ] ]',
     )
     assert out == "h-llo-world"
+
+
+def test_w3id_idlab_namespace_accepted(spark):
+    """The reference's voc.ts + fixtures use the w3id idlab-fn namespace
+    (https://w3id.org/imec/idlab/function#) while its README uses the
+    legacy example.com form — mappings written with EITHER must parse
+    to the same canonical functions (conditional subject works, CDC
+    stateful detection fires)."""
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+    from rml_utils_processor_ts_spark.plans import voc
+    from rml_utils_processor_ts_spark.operators.terms import stateful_subject_spec
+
+    w3id = "https://w3id.org/imec/idlab/function#"
+    mapping = f"""
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ a rr:FunctionTermMap ; fnml:functionValue [
+        rr:predicateObjectMap [ rr:predicate fno:executes ;
+            rr:objectMap [ rr:constant <{w3id}explicitCreate> ] ] ;
+        rr:predicateObjectMap [ rr:predicate <{w3id}iri> ;
+            rr:objectMap [ rr:template "http://x/{{id}}" ] ] ;
+        rr:predicateObjectMap [ rr:predicate <{w3id}state> ;
+            rr:objectMap [ rr:constant "/tmp/st_w3id" ] ]
+    ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "name" ] ] .
+"""
+    plan = parse_mapping(mapping, {"d.json": 'inline:[{"id": "1", "name": "A"}]'})
+    fn = plan.triples_maps[0].subject_map.term_map.function
+    assert fn.function_iri == voc.IDLAB_EXPLICIT_CREATE  # canonicalized
+    assert voc.IDLAB_IRI in fn.params and voc.IDLAB_STATE in fn.params
+    assert stateful_subject_spec(plan.triples_maps[0].subject_map.term_map) is not None
+
+    # pure functions through the executor too
+    mapping2 = f"""
+ex:m2 a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/{{id}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/v> ] ;
+        rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+            rr:predicateObjectMap [ rr:predicate fno:executes ;
+                rr:objectMap [ rr:constant <{w3id}trueCondition> ] ] ;
+            rr:predicateObjectMap [ rr:predicate <{w3id}strBoolean> ;
+                rr:objectMap [ rr:constant "true" ] ] ;
+            rr:predicateObjectMap [ rr:predicate <{w3id}str> ;
+                rr:objectMap [ rml:reference "name" ] ]
+        ] ] ] .
+"""
+    res = execute_mapping(spark, mapping2, {"d.json": 'inline:[{"id": "1", "name": "A"}]'})
+    assert {r["o"] for r in res.triples.collect() if r["p"] == "http://x/v"} == {"A"}
