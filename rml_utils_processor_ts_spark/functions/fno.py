@@ -93,7 +93,13 @@ def compile_function(fn: FunctionCall, compile_term: Callable[[TermMap, str], Co
         # (watched-property fingerprints, /root/reference/src/rml/incrml.ts:486-507)
         sep_tm = _param(fn, voc.GREL_PARAM_STRING_SEP)
         sep = sep_tm.constant if sep_tm is not None and sep_tm.constant is not None else "&"
-        parts = [compile_term(tm, "value") for key, tm in sorted_params(fn) if voc.GREL_PARAM_A in key]
+        parts = [
+            compile_term(tm, "value")
+            for key, tm in sorted_params(fn)
+            # both array-element param spellings: p_array_a (grel proper)
+            # and the reference rewriter's short param_a (voc.ts:97)
+            if voc.GREL_PARAM_A in key or voc.GREL_PARAM_A_ALT in key
+        ]
         if not parts:
             parts = [
                 compile_term(tm, "value")

@@ -37,6 +37,13 @@ DCT = "http://purl.org/dc/terms/"
 AS = "https://www.w3.org/ns/activitystreams#"
 FORMATS = "http://www.w3.org/ns/formats/"
 CSVW = "http://www.w3.org/ns/csvw#"
+# csvw terms (src/voc.ts:86-93) — use sites may join CSVW + name; the
+# constants keep the inventory auditable
+CSVW_URL = CSVW + "url"
+CSVW_DIALECT = CSVW + "dialect"
+CSVW_DIALECT_CLASS = CSVW + "Dialect"
+CSVW_DELIMITER = CSVW + "delimiter"
+CSVW_TABLE = CSVW + "Table"
 RMLS = "http://semweb.mmlab.be/ns/rmls#"
 TD = "https://www.w3.org/2019/wot/td#"
 HCTL = "https://www.w3.org/2019/wot/hypermedia#"
@@ -63,6 +70,12 @@ RR_PARENT_TERM_MAP = RR + "parentTermMap"
 RR_IRI = RR + "IRI"
 RR_LITERAL = RR + "Literal"
 RR_BLANK_NODE = RR + "BlankNode"
+# class markers the reference declares (type annotations on term-map
+# bnodes; parsing keys off predicates, but the inventory is complete)
+RR_SUBJECT_MAP_CLASS = RR + "SubjectMap"
+RR_POM_CLASS = RR + "PredicateObjectMap"
+RR_GRAPH_MAP_CLASS = RR + "GraphMap"
+RR_FUNCTION_TERM_MAP = RR + "FunctionTermMap"
 
 # rml (src/voc.ts:15-24)
 RML_LOGICAL_SOURCE = RML + "logicalSource"
@@ -112,6 +125,10 @@ GREL_VALUE_PARAMETER = GREL + "valueParameter"
 GREL_VALUE_PARAMETER2 = GREL + "valueParameter2"
 GREL_ARRAY_JOIN = GREL + "array_join"
 GREL_PARAM_A = GREL + "p_array_a"
+# the reference's IncRML rewriter emits the SHORT param name
+# (/root/reference/src/voc.ts:97 "param_a", used at incrml.ts:503) —
+# array_join accepts both spellings
+GREL_PARAM_A_ALT = GREL + "param_a"
 GREL_PARAM_STRING_SEP = GREL + "param_string_sep"
 GREL_BOOL_B = GREL + "bool_b"
 
@@ -144,6 +161,7 @@ LDES_EVENT_STREAM = LDES + "EventStream"
 TREE_SHAPE = TREE + "shape"
 TREE_MEMBER = TREE + "member"
 VOID_DATA_DUMP = VOID + "dataDump"
+VOID_DATASET = VOID + "Dataset"
 DCT_MODIFIED = DCT + "modified"
 DCT_IS_VERSION_OF = DCT + "isVersionOf"
 

@@ -208,3 +208,36 @@ ex:m2 a rr:TriplesMap ;
 """
     res = execute_mapping(spark, mapping2, {"d.json": 'inline:[{"id": "1", "name": "A"}]'})
     assert {r["o"] for r in res.triples.collect() if r["p"] == "http://x/v"} == {"A"}
+
+
+def test_vocabulary_covers_reference_inventory():
+    """Every term the reference's voc.ts declares
+    (/root/reference/src/voc.ts — the complete IRI inventory its
+    wrapper and rewriter understand) must exist in our voc module,
+    directly or via namespace canonicalization — a missing term means a
+    mapping feature the engine silently can't see."""
+    import re
+
+    from rml_utils_processor_ts_spark.plans import voc
+
+    src = open("/root/reference/src/voc.ts").read()
+    ours = {v for v in vars(voc).values() if isinstance(v, str)}
+    blocks = re.findall(
+        r"createUriAndTermNamespace\(\s*\"([^\"]+)\",([^;]*)\)", src, re.DOTALL
+    )
+    assert len(blocks) >= 12
+    missing = []
+    for ns, body in blocks:
+        terms = re.findall(r'"([^"]+)"', body)
+        for term in terms:
+            iri = voc.canonical_function_iri(ns + term)
+            # rr:dataType is the fixtures' camel variant of rr:datatype;
+            # both spellings are parsed (voc.RR_DATATYPE_CAMEL)
+            if iri in ours:
+                continue
+            # namespace-prefix membership: our constants may join the
+            # namespace constant with the local name at use sites
+            if ns in ours and any(v == ns + term for v in ours):
+                continue
+            missing.append(iri)
+    assert missing == [], f"reference vocabulary terms without a counterpart: {missing}"
