@@ -74,7 +74,7 @@ def compile_watched_term(tm: TermMap, resolve) -> Column:
     sep = sep_tm.constant if sep_tm is not None and sep_tm.constant is not None else "&"
     parts: list[Column] = []
     for key, p in sorted_params(fn):
-        if voc.GREL_PARAM_A not in key:
+        if voc.GREL_PARAM_A not in key and voc.GREL_PARAM_A_ALT not in key:
             continue
         m = _WATCHED_CONST_RE.match(p.constant) if p.constant is not None else None
         if m is not None:
@@ -94,7 +94,7 @@ def watched_references(tm: TermMap) -> list[str]:
     fn = _watched_array_join(tm)
     if fn is not None:
         for key, p in sorted_params(fn):
-            if voc.GREL_PARAM_A in key and p.constant is not None:
+            if (voc.GREL_PARAM_A in key or voc.GREL_PARAM_A_ALT in key) and p.constant is not None:
                 m = _WATCHED_CONST_RE.match(p.constant)
                 if m is not None and m.group(2) not in refs:
                     refs.append(m.group(2))

@@ -270,7 +270,10 @@ def _watched_term_map(tms: list[TriplesMap], is_xpath: bool) -> TermMap:
         params={
             voc.GREL_PARAM_STRING_SEP: TermMap(constant="&"),
             **{
-                f"{voc.GREL_PARAM_A}#{i}": TermMap(constant=f"prop{i}={p}")
+                # the reference rewriter emits the SHORT param name
+                # (grel:param_a, incrml.ts:503) — match it so our IncRML
+                # documents interchange with reference consumers
+                f"{voc.GREL_PARAM_A_ALT}#{i}": TermMap(constant=f"prop{i}={p}")
                 for i, p in enumerate(props)
             },
         },

@@ -256,7 +256,8 @@ def test_mixed_xml_csv_mapping_6_tms_with_watched_forms():
     # CSV: grel:array_join with prop constants (incrml.test.ts:265-266)
     fn = watched["csv"].function
     assert fn.function_iri == voc.GREL_ARRAY_JOIN
-    consts = {tm.constant for k, tm in fn.params.items() if voc.GREL_PARAM_A in k}
+    # emitted with the reference's short param name (grel:param_a)
+    consts = {tm.constant for k, tm in fn.params.items() if voc.GREL_PARAM_A_ALT in k}
     assert consts == {"prop0=Column2", "prop1=Column3"}
 
 
