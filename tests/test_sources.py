@@ -602,3 +602,28 @@ ex:m a rr:TriplesMap ;
         ("http://x/1", "5"),
         ("http://x/2", "6"),
     }
+
+
+def test_iri_encoding_of_template_values(spark):
+    """Hard-part #1 from the build plan: template values in IRI position
+    percent-encode per RFC 3986 (space %20 not '+', unicode UTF-8
+    percent-escaped, reserved chars escaped, '~' unreserved) while
+    LITERAL-position templates stay raw."""
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/item/{id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rr:template "val {id}" ; rr:termType rr:Literal ] ] .
+"""
+    doc = (
+        '[{"id": "a b"}, {"id": "x/y?z"}, {"id": "f\\u00fcr"}, {"id": "t~i"}]'
+    )
+    res = execute_mapping(spark, mapping, {"d.json": "inline:" + doc})
+    rows = {r["s"]: r["o"] for r in res.triples.collect()}
+    assert rows["http://x/item/a%20b"] == "val a b"  # space: %20, literal raw
+    assert rows["http://x/item/x%2Fy%3Fz"] == "val x/y?z"  # reserved escaped
+    assert rows["http://x/item/f%C3%BCr"] == "val für"  # UTF-8 percent pairs
+    assert rows["http://x/item/t~i"] == "val t~i"  # '~' unreserved
