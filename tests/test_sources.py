@@ -627,3 +627,39 @@ ex:m a rr:TriplesMap ;
     assert rows["http://x/item/x%2Fy%3Fz"] == "val x/y?z"  # reserved escaped
     assert rows["http://x/item/f%C3%BCr"] == "val für"  # UTF-8 percent pairs
     assert rows["http://x/item/t~i"] == "val t~i"  # '~' unreserved
+
+
+def test_rml_query_doc_source_with_publisher_regex(spark):
+    """rml:query + document formulation + publisher_regex compose: the
+    query SELECTs a JSON payload per row, the regex keys the publisher
+    from the raw payload (the A7 raw-document form), and records still
+    iterate normally — the doc_derived guard special-cases this shape
+    instead of rejecting all table-backed sources."""
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+    from rml_utils_processor_ts_spark.sources.registry import records_df
+
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "table:/root/testdata/sf0.001/nation.parquet" ;
+        rml:query "SELECT concat('{\\"src\\": \\"pub-', n_regionkey, '\\", \\"items\\": [{\\"id\\": \\"', n_nationkey, '\\"}]}') AS doc FROM nation WHERE n_nationkey < 4" ;
+        rml:iterator "$.items[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/{id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "id" ] ] .
+"""
+    plan = parse_mapping(mapping)
+    ls = plan.triples_maps[0].logical_source
+    recs = records_df(
+        spark,
+        ls,
+        ["id"],
+        passthrough=[],
+        doc_derived={"__pub": (r'"src": "([^"]+)"', 1)},
+    )
+    rows = {(r[c] if c != "__pub" else r["__pub"]) for r in recs.collect() for c in recs.columns}
+    got = {(r["__pub"], r[[c for c in recs.columns if c != "__pub"][0]]) for r in recs.collect()}
+    assert len(got) == 4
+    assert all(pub.startswith("pub-") for pub, _ in got)
