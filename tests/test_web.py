@@ -193,3 +193,40 @@ def test_html_to_text_extraction(spark):
     assert "Block\nbreak" in out  # <br> -> newline
     assert "item one\nitem two" in out
     assert "  " not in out and "\n\n" not in out
+
+
+def test_new_operator_plan_shapes(spark):
+    """Shuffle discipline of the round-4 operators, asserted on physical
+    plans: contamination joins the corpus map-side (broadcast, no
+    SortMergeJoin, the only corpus-keyed Exchange is the post-match
+    pair aggregate); PII redaction and HTML extraction are zero-shuffle;
+    stratified sampling pushes no Exchange."""
+    from rml_utils_processor_ts_spark.operators.contamination import contamination_report
+    from rml_utils_processor_ts_spark.operators.corpus import stratified_hash_sample
+    from rml_utils_processor_ts_spark.operators.web import redact_pii
+    from rml_utils_processor_ts_spark.sources.pages import html_to_text
+
+    docs = spark.createDataFrame(
+        [(1, "some words here", "s0"), (2, "other words", "s1")],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame([(9, "some words here")], "bench_id long, text string")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of(contamination_report(docs, bench, k=2))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    non_broadcast = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("bench_id" in l or "doc_id" in l for l in non_broadcast)
+    corpus_keyed = [l for l in non_broadcast if "doc_id" in l]
+    assert len(corpus_keyed) == 1  # only the (doc, bench) match aggregate
+
+    assert "Exchange" not in plan_of(redact_pii(docs))
+    assert "Exchange" not in plan_of(
+        docs.select(html_to_text(F.col("text")).alias("t"))
+    )
+    assert "Exchange" not in plan_of(
+        stratified_hash_sample(docs, "doc_id", "source", {"s0": 1.0}, 0.5)
+    )
