@@ -916,10 +916,12 @@ def q_rml_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5, not hash(): str hash is salted per process, which would mint
     # a new temp file per run instead of reusing one per sf_dir
     mark = f"/tmp/rml_csv_gate_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.csv"
-    if not _os.path.exists(mark):
-        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-        pdf = nation.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").toPandas()
-        pdf.to_csv(mark, sep=";", index=False)
+    # always rewrite (25 rows): an 'if exists' cache would go stale if
+    # the driver regenerates testdata with different content
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pdf = nation.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").toPandas()
+    pdf.to_csv(mark, sep=";", index=False)
+    _ = _os.path.exists(mark)
     mapping = f"""
 ex:m a rr:TriplesMap ;
     rml:logicalSource [ a rml:LogicalSource ;
