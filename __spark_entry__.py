@@ -921,7 +921,6 @@ def q_rml_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     pdf = nation.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").toPandas()
     pdf.to_csv(mark, sep=";", index=False)
-    _ = _os.path.exists(mark)
     mapping = f"""
 ex:m a rr:TriplesMap ;
     rml:logicalSource [ a rml:LogicalSource ;
