@@ -104,3 +104,72 @@ def decontaminate(
         .distinct()
     )
     return docs.join(flagged, doc_id_col, "left_anti")
+
+
+def mask_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    mask_token: str = "<MASKED>",
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    bench_text_col: str = "text",
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """The third decontamination mode (report / drop / MASK): replace
+    only the token spans that overlap benchmark k-grams, keeping the
+    rest of the document. Position-level span math is not expressible
+    as portable Column SQL, so this is an Arrow-batched ``mapInPandas``
+    stage — the benchmark k-gram set is collected to the driver (small
+    by definition) and closed over, so executors get it with the task
+    broadcast; the corpus streams through one scan, zero shuffle.
+    Output: doc_id, text (masked), n_masked_tokens."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    bench_rows = (
+        benchmark.select(F.explode(F.array_distinct(_kgram_hashes(F.col(bench_text_col), k))).alias("g"))
+        .distinct()
+        .collect()
+    )
+    bench_grams = frozenset(r["g"] for r in bench_rows)
+    schema = f"{doc_id_col} long, text string, n_masked_tokens int"
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_texts, out_counts = [], [], []
+            for doc_id, text in zip(pdf[doc_id_col], pdf[doc_text_col]):
+                # same normalization as _kgram_hashes/tokens (lowercase
+                # only for hashing; emitted text keeps original case),
+                # except str.split() drops the empty edge tokens a
+                # leading/trailing-space doc gives the Column path — the
+                # Python side is strictly cleaner there
+                raw_toks = " ".join(str(text).split()).split(" ") if str(text).strip() else []
+                low = [t.lower() for t in raw_toks]
+                masked = [False] * len(raw_toks)
+                for i in range(len(raw_toks) - k + 1):
+                    gram = " ".join(low[i : i + k])
+                    if _hashlib.md5(gram.encode()).hexdigest() in bench_grams:
+                        for j in range(i, i + k):
+                            masked[j] = True
+                n = sum(masked)
+                if n:
+                    # collapse each masked RUN to one mask token
+                    out_tok, prev = [], False
+                    for t, m in zip(raw_toks, masked):
+                        if m and not prev:
+                            out_tok.append(mask_token)
+                        elif not m:
+                            out_tok.append(t)
+                        prev = m
+                    out_texts.append(" ".join(out_tok))
+                else:
+                    out_texts.append(str(text))
+                out_ids.append(doc_id)
+                out_counts.append(n)
+            yield pd.DataFrame(
+                {doc_id_col: out_ids, "text": out_texts, "n_masked_tokens": out_counts}
+            )
+
+    return docs.select(doc_id_col, doc_text_col).mapInPandas(run, schema)

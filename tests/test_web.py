@@ -230,3 +230,28 @@ def test_new_operator_plan_shapes(spark):
     assert "Exchange" not in plan_of(
         stratified_hash_sample(docs, "doc_id", "source", {"s0": 1.0}, 0.5)
     )
+
+
+def test_mask_contaminated_spans(spark):
+    """Span-level decontamination: only the overlapping token run is
+    replaced (collapsed to one mask token), surrounding text survives,
+    clean docs pass through untouched, counts are exact."""
+    from rml_utils_processor_ts_spark.operators.contamination import (
+        mask_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "bench_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words THE QUICK BROWN FOX JUMPS outro words"),
+            (2, "totally clean document text here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in mask_contaminated_spans(docs, bench, k=5).collect()}
+    assert rows[1]["text"] == "intro words <MASKED> outro words"
+    assert rows[1]["n_masked_tokens"] == 5
+    assert rows[2]["text"] == "totally clean document text here"
+    assert rows[2]["n_masked_tokens"] == 0
