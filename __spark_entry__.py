@@ -1031,6 +1031,25 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus rollup (round 4): deterministic urls are
+    synthesized from doc_id spanning 5 registered domains; the rollup
+    must match the closed-form oracle on counts, exact token sums, and
+    the single-division mean."""
+    from rml_utils_processor_ts_spark.operators.web import domain_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://www.site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return domain_profile(docs.select("doc_id", "text", url.alias("url")))
+
+
 YARRRML_COND_DOC = """
 prefixes:
     ex: "http://example.org/"
@@ -1140,6 +1159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
+    "domain_profile": q_domain_profile,
     "pii_redaction": q_pii_redaction,
     "rml_customer_triples": q_rml_customer_triples,
     "rml_join_orders_customer": q_rml_join_orders_customer,
@@ -1657,6 +1677,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS VARCHAR) AS o
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
+        """,
+        "domain_profile": """
+            WITH d AS (
+              SELECT 'example' || (doc_id % 5) || '.com' AS domain,
+                     len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_toks
+              FROM documents
+            )
+            SELECT domain, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                   sum(n_toks) / count(*) AS mean_tokens
+            FROM d GROUP BY 1
         """,
         "html_extract": """
             WITH s0 AS (

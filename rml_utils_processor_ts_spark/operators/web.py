@@ -193,3 +193,33 @@ def redact_pii(
         counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{kind}"))
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return df.select(F.col(id_col).alias("doc_id"), *counts, out.alias("text"))
+
+
+def domain_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registered-domain corpus curation rollup: document count,
+    total whitespace tokens, and mean tokens per document — the
+    aggregate a mixing/cap policy reads before sampling a web corpus
+    (e.g. cap any one domain at N docs or M tokens). One hash-groupBy
+    keyed by domain with map-side partial aggregation; the token sum is
+    an exact integer so the mean is a single end division
+    (engine-stable, same recipe as the session aggregates)."""
+    toks = F.size(F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "))
+    host = url_host(F.col(url_col))
+    return (
+        df.select(
+            registered_domain(host).alias("domain"),
+            F.col(id_col),
+            toks.alias("__n_toks"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n_toks").alias("total_tokens"),
+            (F.sum("__n_toks") / F.count("*")).alias("mean_tokens"),
+        )
+    )

@@ -255,3 +255,20 @@ def test_mask_contaminated_spans(spark):
     assert rows[1]["n_masked_tokens"] == 5
     assert rows[2]["text"] == "totally clean document text here"
     assert rows[2]["n_masked_tokens"] == 0
+
+
+def test_domain_profile(spark):
+    from rml_utils_processor_ts_spark.operators.web import domain_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.ex.com/1", "one two three"),
+            (2, "http://b.ex.com/2", "four five"),
+            (3, "https://other.org/3", "six"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    rows = {r["domain"]: r for r in domain_profile(docs).collect()}
+    assert rows["ex.com"]["n_docs"] == 2 and rows["ex.com"]["total_tokens"] == 5
+    assert rows["ex.com"]["mean_tokens"] == 2.5
+    assert rows["other.org"]["n_docs"] == 1 and rows["other.org"]["total_tokens"] == 1
