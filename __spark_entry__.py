@@ -721,13 +721,18 @@ ex:map_stations a rr:TriplesMap ;
 
 
 def q_rml_xpath_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2 extended XPath surface (VERDICT r3 missing #1): a predicated
-    iterator (``//nation[@keep='y']``) plus predicated/positional/
-    attribute-step references (``nm[@cs='U']``, ``nm[2]/text()``,
-    ``nm[1]/@cs``) over per-region XML documents synthesized
-    deterministically from the nation table. These shapes reject the
-    from_xml fast path, so this gates the tree-walking XPath engine
-    end-to-end; the oracle is closed-form over nation."""
+    """B2 extended XPath surface (VERDICT r3 missing #1, widened r5 with
+    the function/axis long tail — VERDICT r4 next-round #5): a
+    function-predicated iterator (``//nation[starts-with(@keep,'y')]``)
+    plus predicated/positional/attribute-step references
+    (``nm[@cs='U']``, ``nm[2]/text()``, ``nm[1]/@cs``), a
+    ``contains()`` function predicate (``nm[contains(., 'A')]``), and a
+    non-child axis step (``nm[1]/following-sibling::nm/@cs``) over
+    per-region XML documents synthesized deterministically from the
+    nation table. These shapes reject both the from_xml fast path and
+    ElementTree's findall, so this gates the extended tree walker
+    (sources/xpath_ext.py) end-to-end; the oracle is closed-form over
+    nation."""
     from rml_utils_processor_ts_spark.sources.registry import register_memory_source
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -761,7 +766,7 @@ def q_rml_xpath_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = """
 ex:m a rr:TriplesMap ;
     rml:logicalSource [ a rml:LogicalSource ; rml:source "docs.xml" ;
-        rml:iterator "//nation[@keep='y']" ; rml:referenceFormulation ql:XPath ] ;
+        rml:iterator "//nation[starts-with(@keep,'y')]" ; rml:referenceFormulation ql:XPath ] ;
     rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/nation/{@key}" ] ;
     rr:predicateObjectMap [
         rr:predicateMap [ rr:constant rdfs:label ] ;
@@ -771,7 +776,13 @@ ex:m a rr:TriplesMap ;
         rr:objectMap [ rml:reference "nm[2]/text()" ] ] ;
     rr:predicateObjectMap [
         rr:predicateMap [ rr:constant <http://ex.org/ns/cs> ] ;
-        rr:objectMap [ rml:reference "nm[1]/@cs" ] ] .
+        rr:objectMap [ rml:reference "nm[1]/@cs" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/nextCs> ] ;
+        rr:objectMap [ rml:reference "nm[1]/following-sibling::nm/@cs" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://ex.org/ns/hasA> ] ;
+        rr:objectMap [ rml:reference "nm[contains(., 'A')]" ] ] .
 """
     res = _exec(spark, mapping, source_bindings={"docs.xml": "memory:xpath_pred_docs"})
     return res.triples.select("s", "p", "o")
@@ -1685,6 +1696,14 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT 'http://ex.org/nation/' || key, 'http://ex.org/ns/lower', lower(name) FROM k
             UNION ALL
             SELECT 'http://ex.org/nation/' || key, 'http://ex.org/ns/cs', 'U' FROM k
+            UNION ALL
+            -- following-sibling::nm of nm[1] is the lowercase variant
+            SELECT 'http://ex.org/nation/' || key, 'http://ex.org/ns/nextCs', 'L' FROM k
+            UNION ALL
+            -- contains(., 'A') matches only the uppercase nm (lowercase
+            -- text never holds capital A); no match -> no triple
+            SELECT 'http://ex.org/nation/' || key, 'http://ex.org/ns/hasA', name
+            FROM k WHERE name LIKE '%A%'
         """,
         "rml_sql_query": """
             SELECT 'http://ex.org/nation/' || c_nationkey AS s,

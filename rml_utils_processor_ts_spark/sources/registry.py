@@ -62,10 +62,15 @@ def _xml_findall(root, path: str) -> list:
     The reference delegates full XPath to Saxon inside the Java jar
     (ql:XPath, /root/reference/src/voc.ts:83); this covers the
     predicated/multi-step surface real-world mappings use without a
-    native XPath engine in the container. Unsupported syntax (functions,
-    unions, ``..``-escapes) returns no matches rather than crashing the
-    executor."""
+    native XPath engine in the container. Syntax ElementTree rejects
+    with SyntaxError — function predicates (``contains()``,
+    ``starts-with()``, ``not()``, ``position()``) and non-child axes
+    (``following-sibling::`` etc.) — falls through to the extended
+    walker in ``xpath_ext``; still-unsupported syntax (unions) returns
+    no matches rather than crashing the executor."""
     import xml.etree.ElementTree as ET
+
+    from .xpath_ext import findall_ext
 
     p = (path or "").strip()
     if p in ("/*", "/", "$", ""):
@@ -79,13 +84,19 @@ def _xml_findall(root, path: str) -> list:
         try:
             return root.findall(p)
         except SyntaxError:
-            return []
+            try:
+                return findall_ext(root, p)
+            except Exception:
+                return []
     synthetic = ET.Element("__synthetic_root__")
     synthetic.append(root)
     try:
         return synthetic.findall(p)
     except SyntaxError:
-        return []
+        try:
+            return findall_ext(synthetic, p)
+        except Exception:
+            return []
 
 
 def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
@@ -139,26 +150,32 @@ def _xml_eval_ref(el, ref: str):
         r = "." + r
     if r.endswith("/text()"):
         r = r[: -len("/text()")]
-        try:
-            child = el.find(r)
-        except SyntaxError:
-            return None
+        child = _xml_find_first(el, r)
         return (child.text or "").strip() if child is not None else None
     m = _XML_ATTR_STEP_RE.match(r)
     if m:
         path, attr = m.group(1), m.group(2)
-        try:
-            child = el.find(path) if path not in (".", "") else el
-        except SyntaxError:
-            return None
+        child = el if path in (".", "") else _xml_find_first(el, path)
         return child.get(attr) if child is not None else None
-    try:
-        child = el.find(r)
-    except SyntaxError:
-        return None
+    child = _xml_find_first(el, r)
     if child is not None:
         return (child.text or "").strip()
     return None
+
+
+def _xml_find_first(el, path: str):
+    """``el.find`` with the extended-walker fallback for function/axis
+    syntax ElementTree rejects (same ladder as _xml_findall)."""
+    try:
+        return el.find(path)
+    except SyntaxError:
+        from .xpath_ext import findall_ext
+
+        try:
+            matches = findall_ext(el, path)
+        except Exception:
+            return None
+        return matches[0] if matches else None
 
 
 def _json_value_to_str(v) -> str | None:

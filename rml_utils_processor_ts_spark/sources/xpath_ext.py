@@ -1,0 +1,274 @@
+"""Extended-XPath evaluator over stdlib ElementTree: the function/axis
+long tail ElementTree's ``findall`` rejects with SyntaxError.
+
+Covers, beyond ElementTree's own subset (which stays the fast path —
+this module is only consulted on SyntaxError):
+
+* function predicates: ``contains(A, 'v')``, ``starts-with(A, 'v')``,
+  ``not(P)``, ``position() <op> n`` — where ``A`` is ``.``, ``text()``,
+  ``@attr``, or a relative element path, and ``P`` is any supported
+  non-positional predicate;
+* non-child axes as steps: ``following-sibling::name``,
+  ``preceding-sibling::name``, ``ancestor::name``, ``parent::name``
+  (positions follow XPath proximity order: reverse axes count outward);
+* everything composes with the predicates ElementTree already supports
+  (``[n]``, ``[last()]``, ``[last()-k]``, ``[@a]``, ``[@a='v']``,
+  ``[child]``, ``[child='v']``) and with ``//`` descendant steps.
+
+The reference processor delegates complete XPath to Saxon inside its
+Java jar (ql:XPath, /root/reference/src/voc.ts:83); this walker covers
+the function/axis surface real mappings use without a native XPath
+engine in the container. String value of an element is its complete
+text content (``itertext``), matching both XPath 1.0 ``string()`` and
+ElementTree's ``[tag='text']`` comparison semantics.
+
+Scale note: this runs inside the Arrow ``mapInPandas`` slow path, per
+XML document, only for iterators the JVM ``from_xml`` fast path and
+ElementTree both decline — per-document work is linear in document
+size per step, no cross-document state.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+_EXT_MARKERS = ("::", "contains(", "starts-with(", "position()", "not(")
+
+_POSITION_RE = re.compile(r"^position\(\)\s*(<=|>=|!=|<|>|=)\s*(\d+)$")
+_LAST_RE = re.compile(r"^last\(\)(?:\s*-\s*(\d+))?$")
+_FUNC2_RE = re.compile(r"^(contains|starts-with)\(\s*(.*?)\s*,\s*'([^']*)'\s*\)$")
+_FUNC2_DQ_RE = re.compile(r'^(contains|starts-with)\(\s*(.*?)\s*,\s*"([^"]*)"\s*\)$')
+_CMP_RE = re.compile(r"^(.*?)\s*(!=|=)\s*'([^']*)'$")
+_CMP_DQ_RE = re.compile(r'^(.*?)\s*(!=|=)\s*"([^"]*)"$')
+_AXES = ("following-sibling", "preceding-sibling", "ancestor", "parent")
+
+
+def has_extended_syntax(path: str) -> bool:
+    return any(m in path for m in _EXT_MARKERS)
+
+
+def _string_value(el) -> str:
+    return "".join(el.itertext())
+
+
+def _split_steps(path: str) -> list[tuple[bool, str]]:
+    """Split on '/' outside brackets/quotes; '' between slashes marks a
+    descendant ('//') step. Returns [(descendant, step_text), ...]."""
+    parts: list[str] = []
+    cur, depth, quote = [], 0, None
+    for ch in path:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "/" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+
+    steps: list[tuple[bool, str]] = []
+    desc = False
+    for p in parts:
+        if p == "":
+            desc = True
+            continue
+        if p == ".":
+            continue
+        steps.append((desc, p))
+        desc = False
+    return steps
+
+
+def _split_predicates(step: str) -> tuple[str, list[str]]:
+    i = step.find("[")
+    if i < 0:
+        return step, []
+    head = step[:i]
+    preds, depth, quote, cur = [], 0, None, []
+    for ch in step[i:]:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            if depth > 1:
+                cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                preds.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        else:
+            cur.append(ch)
+    return head, preds
+
+
+class _Walker:
+    def __init__(self, root):
+        self._root = root
+        self._parent: dict[int, object] | None = None
+        self._elems: dict[int, object] = {}
+
+    def parent_of(self, el):
+        if self._parent is None:
+            self._parent = {}
+            for p in self._root.iter():
+                for c in p:
+                    self._parent[id(c)] = p
+                    self._elems[id(c)] = c
+        return self._parent.get(id(el))
+
+    # ---- string value of a predicate operand -------------------------
+    def _operand_values(self, el, arg: str) -> list[str]:
+        """All string values the operand selects from context el
+        (XPath nodeset semantics: comparisons succeed if ANY matches)."""
+        arg = arg.strip()
+        if arg in (".", "text()", "string(.)"):
+            return [_string_value(el)]
+        if arg.startswith("@"):
+            v = el.get(arg[1:])
+            return [v] if v is not None else []
+        # relative element path (may itself use extended syntax)
+        return [_string_value(m) for m in self.findall(el, arg)]
+
+    # ---- predicate evaluation ----------------------------------------
+    def _filter(self, items: list, pred: str) -> list:
+        pred = pred.strip()
+        n = len(items)
+
+        if pred.isdigit():
+            k = int(pred)
+            return [items[k - 1]] if 1 <= k <= n else []
+        m = _LAST_RE.match(pred)
+        if m:
+            k = n - int(m.group(1) or 0)
+            return [items[k - 1]] if 1 <= k <= n else []
+        m = _POSITION_RE.match(pred)
+        if m:
+            op, k = m.group(1), int(m.group(2))
+            ops = {"<": lambda i: i < k, "<=": lambda i: i <= k,
+                   ">": lambda i: i > k, ">=": lambda i: i >= k,
+                   "=": lambda i: i == k, "!=": lambda i: i != k}
+            return [e for i, e in enumerate(items, 1) if ops[op](i)]
+
+        return [e for e in items if self._bool_pred(e, pred)]
+
+    def _bool_pred(self, el, pred: str) -> bool:
+        pred = pred.strip()
+        if pred.startswith("not(") and pred.endswith(")"):
+            return not self._bool_pred(el, pred[4:-1])
+        m = _FUNC2_RE.match(pred) or _FUNC2_DQ_RE.match(pred)
+        if m:
+            fn, arg, lit = m.groups()
+            vals = self._operand_values(el, arg)
+            if fn == "contains":
+                return any(lit in v for v in vals)
+            return any(v.startswith(lit) for v in vals)
+        m = _CMP_RE.match(pred) or _CMP_DQ_RE.match(pred)
+        if m:
+            arg, op, lit = m.groups()
+            vals = self._operand_values(el, arg)
+            if op == "=":
+                return any(v == lit for v in vals)
+            return any(v != lit for v in vals)
+        if pred.startswith("@"):
+            return el.get(pred[1:]) is not None
+        # bare path existence
+        return bool(self.findall(el, pred))
+
+    # ---- axis candidate generation (document/proximity order) --------
+    def _axis_candidates(self, el, axis: str, test: str) -> list:
+        def ok(e):
+            return test == "*" or e.tag == test
+
+        if axis == "child":
+            return [c for c in el if ok(c)]
+        if axis == "parent":
+            p = self.parent_of(el)
+            return [p] if p is not None and p.tag != "__synthetic_root__" and ok(p) else []
+        if axis == "ancestor":
+            out, p = [], self.parent_of(el)
+            while p is not None and p.tag != "__synthetic_root__":
+                if ok(p):
+                    out.append(p)  # proximity order: nearest first
+                p = self.parent_of(p)
+            return out
+        if axis in ("following-sibling", "preceding-sibling"):
+            p = self.parent_of(el)
+            if p is None:
+                return []
+            sibs = list(p)
+            i = next(j for j, s in enumerate(sibs) if s is el)
+            if axis == "following-sibling":
+                return [s for s in sibs[i + 1:] if ok(s)]
+            return [s for s in reversed(sibs[:i]) if ok(s)]  # proximity
+        return []
+
+    # ---- step evaluation ---------------------------------------------
+    def _eval_step(self, contexts: list, desc: bool, step: str) -> list:
+        head, preds = _split_predicates(step)
+        head = head.strip()
+        if head == "..":
+            axis, test = "parent", "*"
+        elif "::" in head:
+            axis, test = head.split("::", 1)
+            axis = axis.strip()
+            test = test.strip() or "*"
+            if axis not in _AXES and axis != "child":
+                return []
+        else:
+            axis, test = "child", head or "*"
+
+        out, seen = [], set()
+        for c in contexts:
+            ctx_nodes = list(c.iter()) if desc else [c]
+            for d in ctx_nodes:
+                items = self._axis_candidates(d, axis, test)
+                for p in preds:
+                    items = self._filter(items, p)
+                    if not items:
+                        break
+                for e in items:
+                    if id(e) not in seen:
+                        seen.add(id(e))
+                        out.append(e)
+        return out
+
+    def findall(self, start, path: str) -> list:
+        steps = _split_steps(path.strip())
+        nodes = [start]
+        for desc, step in steps:
+            if not nodes:
+                return []
+            nodes = self._eval_step(nodes, desc, step)
+        return nodes
+
+
+def findall_ext(root, path: str) -> list:
+    """Drop-in for ``root.findall(path)`` on the extended surface.
+    ``path`` uses the same relative conventions the callers already
+    normalized to ('.//x', './x', or bare relative)."""
+    p = path.strip()
+    if p.startswith("./"):
+        p = p[2:]
+    return _Walker(root).findall(root, p)

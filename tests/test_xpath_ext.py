@@ -1,0 +1,114 @@
+"""Unit tests for the extended-XPath walker (sources/xpath_ext.py):
+function predicates, non-child axes, and their composition with the
+ElementTree subset — the Saxon-delegated surface of the reference
+(ql:XPath, /root/reference/src/voc.ts:83) that ElementTree rejects.
+
+Pure-Python tests (no Spark session needed)."""
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from rml_utils_processor_ts_spark.sources.registry import (
+    _xml_findall,
+    _xml_iter_records,
+    ref_column_name,
+)
+from rml_utils_processor_ts_spark.sources.xpath_ext import (
+    findall_ext,
+    has_extended_syntax,
+)
+
+DOC = """
+<lib>
+  <shelf id="s1">
+    <book id="b1" genre="scifi"><title>Dune</title><year>1965</year></book>
+    <book id="b2" genre="fantasy"><title>Earthsea</title><year>1968</year></book>
+    <book id="b3" genre="scifi"><title>Neuromancer</title><year>1984</year></book>
+  </shelf>
+  <shelf id="s2">
+    <book id="b4" genre="essay"><title>Dune Messiah notes</title></book>
+  </shelf>
+</lib>
+"""
+
+
+@pytest.fixture(scope="module")
+def root():
+    return ET.fromstring(DOC)
+
+
+def ids(elems):
+    return [e.get("id") for e in elems]
+
+
+def test_contains_predicate(root):
+    assert ids(findall_ext(root, ".//book[contains(title, 'Dune')]")) == ["b1", "b4"]
+    assert ids(findall_ext(root, ".//book[contains(@genre, 'sci')]")) == ["b1", "b3"]
+
+
+def test_starts_with_predicate(root):
+    assert ids(findall_ext(root, ".//book[starts-with(@id, 'b')]")) == [
+        "b1", "b2", "b3", "b4"]
+    assert ids(findall_ext(root, ".//book[starts-with(title, 'Neuro')]")) == ["b3"]
+
+
+def test_not_and_position(root):
+    assert ids(findall_ext(root, ".//book[not(@genre='scifi')]")) == ["b2", "b4"]
+    assert ids(findall_ext(root, ".//book[not(year)]")) == ["b4"]
+    # position within each parent shelf, ElementTree-compatible
+    assert ids(findall_ext(root, ".//book[position()<=2]")) == ["b1", "b2", "b4"]
+
+
+def test_following_and_preceding_sibling(root):
+    assert ids(findall_ext(root, "shelf[1]/book[1]/following-sibling::book")) == [
+        "b2", "b3"]
+    # reverse axis counts by proximity: [1] is the NEAREST preceding
+    got = findall_ext(root, "shelf[1]/book[3]/preceding-sibling::book[1]")
+    assert ids(got) == ["b2"]
+    assert findall_ext(root, "shelf[2]/book[1]/following-sibling::book") == []
+
+
+def test_ancestor_and_parent(root):
+    t = findall_ext(root, ".//book[@id='b4']/ancestor::shelf")
+    assert ids(t) == ["s2"]
+    assert [e.tag for e in findall_ext(root, ".//title[contains(., 'Earthsea')]/parent::book")] == ["book"]
+    assert ids(findall_ext(root, ".//year/..[@genre='fantasy']")) == ["b2"]
+
+
+def test_composition_axis_then_function(root):
+    got = findall_ext(
+        root, "shelf/book[1]/following-sibling::book[contains(@genre, 'fan')]")
+    assert ids(got) == ["b2"]
+
+
+def test_last_in_walker(root):
+    assert ids(findall_ext(root, "shelf[1]/book[last()]")) == ["b3"]
+    assert ids(findall_ext(root, "shelf[1]/book[last()-1]")) == ["b2"]
+
+
+def test_findall_ladder_routes_extended(root):
+    """_xml_findall must fall through to the walker for every extended
+    form and keep ElementTree answers for its native subset."""
+    assert ids(_xml_findall(root, "//book[contains(@id, '3')]")) == ["b3"]
+    assert ids(_xml_findall(root, "//book[starts-with(@genre, 'ess')]")) == ["b4"]
+    assert ids(_xml_findall(root, "//book[@genre='scifi']")) == ["b1", "b3"]  # ET native
+    assert _xml_findall(root, "//book[unsupported-fn(@x)]") == []  # no crash
+
+
+def test_iter_records_with_extended_refs():
+    refs = ["@id", "title[contains(., 'Dune')]",
+            "title/following-sibling::year/text()"]
+    recs = _xml_iter_records(DOC, "//book[starts-with(@id, 'b')]", refs)
+    by_id = {r[ref_column_name("@id")]: r for r in recs}
+    assert set(by_id) == {"b1", "b2", "b3", "b4"}
+    assert by_id["b1"][ref_column_name("title[contains(., 'Dune')]")] == "Dune"
+    assert by_id["b2"][ref_column_name("title[contains(., 'Dune')]")] is None
+    assert by_id["b1"][ref_column_name("title/following-sibling::year/text()")] == "1965"
+    assert by_id["b4"][ref_column_name("title/following-sibling::year/text()")] is None
+
+
+def test_has_extended_syntax_detector():
+    assert has_extended_syntax("//a[contains(@x,'1')]")
+    assert has_extended_syntax("a/following-sibling::b")
+    assert not has_extended_syntax("//a[@x='1']/b[2]")
