@@ -39,6 +39,44 @@ class StateBackend(abc.ABC):
         return {sid: self.commit(sid, df) for sid, df in updates.items()}
 
 
+class InMemoryStateStore(StateBackend):
+    """Driver-memory backend: snapshots held as collected row lists.
+
+    A genuinely third implementation of the seam (after versioned
+    parquet and Iceberg) proving consumers never reach past the
+    interface. Intended for tests and small interactive runs — state
+    must fit on the driver; every commit materializes the frame. The
+    full version history is retained so ``read_version`` can replay,
+    mirroring the parquet backend's ``v_N`` directories and Iceberg's
+    ``VERSION AS OF``."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        # state_id -> [(schema, rows), ...] — the committed frame's OWN
+        # schema is retained (like a parquet/Iceberg round-trip would);
+        # re-imposing STATE_SCHEMA column order here silently scrambled
+        # values when a caller committed columns in a different order
+        self._versions: dict[str, list[tuple]] = {}
+
+    def read(self, state_id: str) -> DataFrame:
+        from .operators.cdc import STATE_SCHEMA
+
+        snaps = self._versions.get(state_id)
+        if not snaps:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        schema, rows = snaps[-1]
+        return self.spark.createDataFrame(rows, schema)
+
+    def read_version(self, state_id: str, version: int) -> DataFrame:
+        schema, rows = self._versions[state_id][version - 1]
+        return self.spark.createDataFrame(rows, schema)
+
+    def commit(self, state_id: str, df: DataFrame) -> int:
+        rows = [list(r) for r in df.collect()]
+        self._versions.setdefault(state_id, []).append((df.schema, rows))
+        return len(self._versions[state_id])
+
+
 class IcebergStateStore(StateBackend):
     """Iceberg-catalog backend: each state_id is a table
     ``<namespace>.state_<md5(state_id)>``.
