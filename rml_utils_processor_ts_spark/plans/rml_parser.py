@@ -119,6 +119,8 @@ _FORMULATIONS = {
     voc.QL_CSV: "csv",
     voc.QL_TABLE: "table",
     voc.QL_PAGES: "pages",
+    # R2RML relational formulation (d2rq:Database sources)
+    voc.RR_SQL2008: "table",
 }
 
 
@@ -176,6 +178,31 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
         if ctype is not None:
             options["http.content_type"] = ctype.value
     elif src.kind in ("bnode", "iri") and (
+        voc.D2RQ_DATABASE in src_types or g.object(src, voc.D2RQ_JDBC_DSN) is not None
+    ):
+        # Remote relational database via the d2rq vocabulary —
+        # rml:source [ a d2rq:Database ; d2rq:jdbcDSN "jdbc:..." ;
+        # d2rq:jdbcDriver "cls" ; d2rq:username ; d2rq:password ] with
+        # rr:tableName or rml:query picking the relation. The reference
+        # leaves these sources undeclared and delegates the whole
+        # mapping to its Java jar (/root/reference/src/rml/rml.ts:136-147);
+        # here they compile to a spark.read JDBC scan (sources/registry.py
+        # _jdbc_records_df) with pushdown into the database.
+        dsn = g.object(src, voc.D2RQ_JDBC_DSN)
+        if dsn is None:
+            raise MappingParseError("d2rq:Database without d2rq:jdbcDSN")
+        location = dsn.value
+        options["jdbc.url"] = dsn.value
+        driver = g.object(src, voc.D2RQ_JDBC_DRIVER)
+        if driver is not None:
+            options["jdbc.driver"] = driver.value
+        user = g.object(src, voc.D2RQ_USERNAME)
+        if user is not None:
+            options["jdbc.user"] = user.value
+        password = g.object(src, voc.D2RQ_PASSWORD)
+        if password is not None:
+            options["jdbc.password"] = password.value
+    elif src.kind in ("bnode", "iri") and (
         voc.RMLS_KAFKA_STREAM in src_types or g.object(src, voc.RMLS_BROKER) is not None
     ):
         # Kafka stream source (rmls: vocab, /root/reference/src/voc.ts:26-34):
@@ -211,7 +238,7 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
         if formulation.value not in _FORMULATIONS:
             raise MappingParseError(f"unknown referenceFormulation {formulation.value}")
         kind = _FORMULATIONS[formulation.value]
-    elif location.startswith("table:"):
+    elif location.startswith("table:") or "jdbc.url" in options:
         kind = "table"
     it = g.object(node, voc.RML_ITERATOR)
     return LogicalSource(

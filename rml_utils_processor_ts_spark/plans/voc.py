@@ -140,6 +140,17 @@ RMLS_GROUP_ID = RMLS + "groupId"
 RMLS_HOST_NAME = RMLS + "hostName"
 RMLS_PORT = RMLS + "port"
 
+# d2rq remote relational databases (the RML-Mapper vocabulary for the
+# RDB sources the reference leaves undeclared and delegates wholesale
+# to its Java jar, /root/reference/src/rml/rml.ts:136-147)
+D2RQ = "http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#"
+D2RQ_DATABASE = D2RQ + "Database"
+D2RQ_JDBC_DSN = D2RQ + "jdbcDSN"
+D2RQ_JDBC_DRIVER = D2RQ + "jdbcDriver"
+D2RQ_USERNAME = D2RQ + "username"
+D2RQ_PASSWORD = D2RQ + "password"
+RR_SQL2008 = RR + "SQL2008"
+
 # WoT HTTP source descriptions (test/rml.test.ts:299-320)
 TD_PROPERTY_AFFORDANCE = TD + "PropertyAffordance"
 TD_HAS_FORM = TD + "hasForm"
@@ -195,6 +206,7 @@ PREFIXES = {
     "formats": FORMATS,
     "csvw": CSVW,
     "rmls": RMLS,
+    "d2rq": D2RQ,
     "td": TD,
     "hctl": HCTL,
     "ex": "http://example.org/",
