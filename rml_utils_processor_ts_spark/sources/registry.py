@@ -70,11 +70,25 @@ def _xml_findall(root, path: str) -> list:
     no matches rather than crashing the executor."""
     import xml.etree.ElementTree as ET
 
-    from .xpath_ext import findall_ext
+    from .xpath_ext import findall_ext, split_union
 
     p = (path or "").strip()
     if p in ("/*", "/", "$", ""):
         return [root]
+    branches = split_union(p)
+    if branches:
+        # unions never reach ElementTree: it reads 'a | b' as ONE tag
+        # name and silently returns [] instead of raising. Each branch
+        # re-enters this function (so relative vs absolute normalization
+        # and the ET-vs-walker ladder apply per branch); results merge
+        # first-seen-order with id-dedup.
+        out, seen = [], set()
+        for b in branches:
+            for e in _xml_findall(root, b):
+                if id(e) not in seen:
+                    seen.add(id(e))
+                    out.append(e)
+        return out
     if p.startswith("//"):
         p = ".//" + p[2:]
     elif p.startswith("/"):
@@ -97,6 +111,8 @@ def _xml_findall(root, path: str) -> list:
             return findall_ext(synthetic, p)
         except Exception:
             return []
+
+
 
 
 def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:

@@ -45,7 +45,39 @@ _AXES = ("following-sibling", "preceding-sibling", "ancestor", "parent")
 
 
 def has_extended_syntax(path: str) -> bool:
-    return any(m in path for m in _EXT_MARKERS)
+    return any(m in path for m in _EXT_MARKERS) or bool(split_union(path))
+
+
+def split_union(path: str) -> list[str] | None:
+    """Split a top-level union ('a | b') into branches, or None if the
+    path has no union. ElementTree silently returns [] for unions (it
+    reads 'a | b' as one tag name), so callers must pre-check with this
+    rather than rely on a SyntaxError fallback."""
+    parts, cur, depth, quote = [], [], 0, None
+    for ch in path:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if not parts:
+        return None
+    parts.append("".join(cur).strip())
+    return parts
 
 
 def _string_value(el) -> str:
@@ -267,8 +299,17 @@ class _Walker:
 def findall_ext(root, path: str) -> list:
     """Drop-in for ``root.findall(path)`` on the extended surface.
     ``path`` uses the same relative conventions the callers already
-    normalized to ('.//x', './x', or bare relative)."""
-    p = path.strip()
-    if p.startswith("./"):
-        p = p[2:]
-    return _Walker(root).findall(root, p)
+    normalized to ('.//x', './x', or bare relative). Top-level unions
+    evaluate each branch and merge first-seen-order with id-dedup."""
+    branches = split_union(path) or [path]
+    walker = _Walker(root)
+    out, seen = [], set()
+    for b in branches:
+        p = b.strip()
+        if p.startswith("./"):
+            p = p[2:]
+        for e in walker.findall(root, p):
+            if id(e) not in seen:
+                seen.add(id(e))
+                out.append(e)
+    return out

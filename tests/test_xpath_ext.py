@@ -112,3 +112,17 @@ def test_has_extended_syntax_detector():
     assert has_extended_syntax("//a[contains(@x,'1')]")
     assert has_extended_syntax("a/following-sibling::b")
     assert not has_extended_syntax("//a[@x='1']/b[2]")
+
+
+def test_union_paths(root):
+    from rml_utils_processor_ts_spark.sources.xpath_ext import split_union
+
+    assert split_union("//a[x='1 | 2'] ") is None  # '|' inside quotes
+    assert split_union("a | b") == ["a", "b"]
+    # absolute + descendant branches, cross-branch dedup, order kept
+    got = _xml_findall(root, "//book[@genre='scifi'] | //book[contains(@id, '4')]")
+    assert ids(got) == ["b1", "b3", "b4"]
+    overlap = _xml_findall(root, "//book | //book[@id='b2']")
+    assert ids(overlap) == ["b1", "b2", "b3", "b4"]
+    # relative branches evaluate from the document root
+    assert [e.get("id") for e in _xml_findall(root, "shelf[1] | shelf[2]")] == ["s1", "s2"]
