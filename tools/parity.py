@@ -254,6 +254,138 @@ ex:map_undeclared a rr:TriplesMap ;
         ("rml.test.ts:690-798 declared+undeclared (skip mode)", *pr(got, expected), len(got), len(expected))
     )
 
+    # F8 data arriving BEFORE mappings — rml.test.ts:515-574: the
+    # snapshot buffers, the mapping registration drains it, output is
+    # the basic 4-quad set
+    from rml_utils_processor_ts_spark.streaming.snapshots import SnapshotRunner
+
+    runner = SnapshotRunner(spark)
+    runner.push_snapshot("dataset/data.xml", XML_DOC)
+    runner.add_mapping(RML_BASIC.format(source="dataset/data.xml"))
+    assert len(runner.results) == 1, "buffered snapshot must drain on mapping registration"
+    got = quadset(runner.results[0].triples)
+    results.append(("rml.test.ts:515-574 data before mappings", *pr(got, expected), len(got), len(expected)))
+
+    # F9 multiple trigger sources, data before mappings —
+    # rml.test.ts:576-658: the reference asserts three emissions, each
+    # exactly 4 quads, labels progressing RAW -> UPDATE -> YET_ANOTHER
+    raw_update = """<resource>
+        <data id="001" label="some new data"></data>
+        <data id="002" label="some other new data"></data>
+    </resource>"""
+    raw_yet = """<resource>
+        <data id="001" label="yet some more new data"></data>
+        <data id="002" label="yet some other new data"></data>
+    </resource>"""
+    runner2 = SnapshotRunner(spark, trigger_sources={"dataset/data1.xml"})
+    runner2.push_snapshot("dataset/data1.xml", XML_DOC)
+    runner2.add_mapping(RML_BASIC.format(source="dataset/data1.xml"))
+    runner2.push_snapshot("dataset/data1.xml", raw_update)
+    runner2.push_snapshot("dataset/data1.xml", raw_yet)
+    exp_labels = [
+        {"some data", "some other data"},
+        {"some new data", "some other new data"},
+        {"yet some more new data", "yet some other new data"},
+    ]
+    got_seq, exp_seq = set(), set()
+    for i, (res_i, labels) in enumerate(zip(runner2.results, exp_labels)):
+        quads = quadset(res_i.triples)
+        got_seq |= {(i, *q) for q in quads}
+        exp_seq |= {(i, s, RDF_TYPE, EX + "Entity", GRAPH) for s in (EX + "001", EX + "002")}
+        exp_seq |= {(i, EX + ("001" if "other" not in lb else "002"), RDFS_LABEL, lb, GRAPH) for lb in labels}
+    p9, r9 = pr(got_seq, exp_seq)
+    results.append((
+        "rml.test.ts:576-658 triggered updates FIFO (3 runs)",
+        p9 if len(runner2.results) == 3 else 0.0, r9 if len(runner2.results) == 3 else 0.0,
+        len(got_seq), len(exp_seq),
+    ))
+
+    # F10 declared + undeclared sources AND targets — rml.test.ts:735-798:
+    # the undeclared WoT HTTP source is fetched by the engine itself (the
+    # reference delegates it to the jar's own HTTP access) and BOTH
+    # TriplesMaps' quads land on the shared output: the basic 4 in the
+    # named graph plus the blue-bike 6 in the default graph
+    server2 = http.server.HTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=server2.serve_forever, daemon=True).start()
+    try:
+        mixed_targets = (
+            RML_BASIC.format(source="d.xml")
+            + """
+ex:map_remote a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source [ a td:PropertyAffordance ;
+            td:hasForm [ a td:Form ;
+                hctl:hasTarget "http://127.0.0.1:%d/api/stations" ;
+                hctl:forContentType "application/json" ] ] ;
+        rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "https://blue-bike.be/stations/{id}" ;
+        rr:class ex:BicycleParkingStation ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant ex:name ] ;
+        rr:objectMap [ rml:reference "name" ] ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant ex:availableBikes ] ;
+        rr:objectMap [ rml:reference "bikes_available" ] ] .
+""" % server2.server_address[1]
+        )
+        got = quadset(
+            execute_mapping(spark, mixed_targets, {"d.xml": "inline:" + XML_DOC}).triples
+        )
+        results.append((
+            "rml.test.ts:735-798 declared+undeclared src+targets",
+            *pr(got, expected | expected_json), len(got), len(expected | expected_json),
+        ))
+    finally:
+        server2.shutdown()
+
+    # F11 stateful independent publishers via ONE logical source —
+    # rml.test.ts:928-990: incRMLStateIndex regex source_id="([^"]+)";
+    # run2 (a different publisher, same logical source) emits Creates
+    # for ITS entities and must not delete publisher 1's
+    AS_NS = "https://www.w3.org/ns/activitystreams#"
+    src1 = """<resource source_id="S001">
+        <data source_id="S001" id="001" label="some data"></data>
+        <data source_id="S001" id="002" label="some other data"></data>
+    </resource>"""
+    src2 = """<resource source_id="S002">
+        <data source_id="S002" id="003" label="some data"></data>
+        <data source_id="S002" id="004" label="some other data"></data>
+    </resource>"""
+    runner3 = SnapshotRunner(
+        spark,
+        state_root=tempfile.mkdtemp(prefix="parity_pub_"),
+        publisher_regex=r'source_id="([^"]+)"',
+        trigger_sources={"dataset/data.xml"},
+    )
+    runner3.add_mapping(RML_STATEFUL.format(source="dataset/data.xml"))
+    runner3.push_snapshot("dataset/data.xml", src1)
+    runner3.push_snapshot("dataset/data.xml", src2)
+    assert len(runner3.results) == 2
+
+    def lifecycle_labels(res_i):
+        rows = res_i.triples.collect()
+        out = set()
+        for r0 in rows:
+            if r0["p"] == EX + "lifeCycleType":
+                out.add((r0["s"], "lc", r0["o"]))
+            elif r0["p"] == RDFS_LABEL:
+                out.add((r0["s"], "label", r0["o"]))
+        return out
+
+    got_pub = {(1, *t) for t in lifecycle_labels(runner3.results[0])} | {
+        (2, *t) for t in lifecycle_labels(runner3.results[1])
+    }
+    exp_pub = {
+        (1, EX + "001", "label", "some data"), (1, EX + "001", "lc", AS_NS + "Create"),
+        (1, EX + "002", "label", "some other data"), (1, EX + "002", "lc", AS_NS + "Create"),
+        (2, EX + "003", "label", "some data"), (2, EX + "003", "lc", AS_NS + "Create"),
+        (2, EX + "004", "label", "some other data"), (2, EX + "004", "lc", AS_NS + "Create"),
+    }
+    results.append((
+        "rml.test.ts:928-990 per-publisher same logical source",
+        *pr(got_pub, exp_pub), len(got_pub), len(exp_pub),
+    ))
+
     # report
     lines = [
         "# PARITY — triple-level P/R vs reference fixture expectations",
