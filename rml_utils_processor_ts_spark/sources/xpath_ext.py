@@ -159,7 +159,7 @@ class _Walker:
     def __init__(self, root):
         self._root = root
         self._parent: dict[int, object] | None = None
-        self._elems: dict[int, object] = {}
+        self._order: dict[int, int] | None = None
 
     def parent_of(self, el):
         if self._parent is None:
@@ -167,8 +167,12 @@ class _Walker:
             for p in self._root.iter():
                 for c in p:
                     self._parent[id(c)] = p
-                    self._elems[id(c)] = c
         return self._parent.get(id(el))
+
+    def doc_index(self, el) -> int:
+        if self._order is None:
+            self._order = {id(e): i for i, e in enumerate(self._root.iter())}
+        return self._order.get(id(el), -1)
 
     # ---- string value of a predicate operand -------------------------
     def _operand_values(self, el, arg: str) -> list[str]:
@@ -284,6 +288,13 @@ class _Walker:
                     if id(e) not in seen:
                         seen.add(id(e))
                         out.append(e)
+        if desc and len(out) > 1:
+            # per-context iteration groups results by PARENT; XPath (and
+            # ElementTree) return descendant-step node-sets in DOCUMENT
+            # order — e.g. .//c on <a><a><c/></a><c/></a> yields the
+            # nested c first (positional predicates already applied
+            # above, in their per-parent scope, before this reorder)
+            out.sort(key=self.doc_index)
         return out
 
     def findall(self, start, path: str) -> list:

@@ -197,3 +197,50 @@ def test_normalize_url_idempotent_sample(spark):
     df2 = spark.createDataFrame([(u,) for u in once], "url string")
     twice = [r["n"] for r in df2.select(normalize_url(F.col("url")).alias("n")).collect()]
     assert once == twice
+
+
+# -- Extended-XPath walker vs ElementTree on the SHARED subset ----------------
+#
+# The walker (sources/xpath_ext.py) must agree with ElementTree's findall
+# wherever both support the path — predicates [@a], [@a='v'], [child],
+# [child='text'], positions [n], [last()], multi-step and '//' descent —
+# on arbitrary small trees. Divergence on the shared subset would mean the
+# extended forms (contains()/axes/unions) are built on wrong step
+# semantics.
+
+import xml.etree.ElementTree as ET
+
+from rml_utils_processor_ts_spark.sources.xpath_ext import findall_ext
+
+_tag = st.sampled_from(["a", "b", "c"])
+_attrval = st.sampled_from(["x", "y"])
+
+
+@st.composite
+def _tree(draw, depth=0):
+    el = ET.Element(draw(_tag))
+    if draw(st.booleans()):
+        el.set("k", draw(_attrval))
+    el.text = draw(st.sampled_from([None, "t1", "t2"]))
+    if depth < 3:
+        for child in draw(st.lists(_tree(depth=depth + 1), max_size=3)):
+            el.append(child)
+    return el
+
+
+_shared_path = st.sampled_from([
+    "a", "b", "a/b", "a/*", ".//a", ".//b/c", "a[1]", "a[2]", "a[last()]",
+    "a[@k]", "a[@k='x']", "a[b]", "a[b='t1']", ".//a[@k='y']", ".//b[1]",
+    "a/b[last()]", "*/c", ".//c[@k]",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(root=_tree(), path=_shared_path)
+def test_walker_matches_elementtree_on_shared_subset(root, path):
+    expected = root.findall(path)
+    got = findall_ext(root, path)
+    assert [id(e) for e in got] == [id(e) for e in expected], (
+        ET.tostring(root), path,
+        [e.tag for e in got], [e.tag for e in expected],
+    )
