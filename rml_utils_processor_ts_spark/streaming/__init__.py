@@ -7,5 +7,6 @@ event-stream processing (Kafka-style) is Structured Streaming
 (windows.py).
 """
 
+from .dedup import content_keyed, streaming_exact_dedup  # noqa: F401
 from .microbatch import MicroBatchMappingRunner  # noqa: F401
 from .snapshots import SnapshotRunner  # noqa: F401

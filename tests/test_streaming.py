@@ -242,3 +242,55 @@ def test_data_arrives_before_mapping(spark):
     runner.add_mapping(RML_BASIC.format(source="dataset/data.xml"))
     assert len(runner.results) == 1
     assert (EX + "001", "some data") in labels(runner.results[0])
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Watermark-bounded streaming dedup: duplicate content hashes
+    across micro-batches collapse to first arrival; the BATCH view of
+    the same files is the value oracle; state stays bounded (the whole
+    point vs a naive stream dropDuplicates)."""
+    import os
+
+    from rml_utils_processor_ts_spark.streaming.dedup import (
+        content_keyed,
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "docs_src"
+    os.makedirs(src)
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t.replace(second=s)
+
+    # duplicates within and ACROSS micro-batches
+    write_batch([(1, "alpha", ts(0)), (2, "beta", ts(1)), (3, "alpha", ts(2))])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+    q = (
+        streaming_exact_dedup(content_keyed(stream), ts_col="ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(4, "alpha", ts(3)), (5, "gamma", ts(4))])
+        q.processAllAvailable()
+        got = {r["text"] for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+        n_stream = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0]["n"]
+    finally:
+        q.stop()
+
+    batch = streaming_exact_dedup(content_keyed(spark.read.parquet(str(src))), ts_col="ts")
+    assert got == {"alpha", "beta", "gamma"}
+    assert n_stream == 3 == batch.count()
+    assert {r["text"] for r in batch.collect()} == got
