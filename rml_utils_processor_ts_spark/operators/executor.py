@@ -346,12 +346,27 @@ class PlanExecutor:
         records = self._records(ls, [])
         resolve = _resolver(set(records.columns))
 
+        # Materialize each TM's subject IRI (template + IRI-encode, the
+        # most expensive term expression) and graph ONCE per record:
+        # they recur in every quad struct of the TM, and Generate does
+        # no subexpression elimination — inlining them re-evaluated the
+        # encode/regex chain once per STRUCT (3x+ per row) and inflated
+        # the codegen unit (measured on rml_customer_triples, PLANS.md).
+        subj_cols = [
+            compile_term_map(tm.subject_map.term_map, resolve, "subject").alias(f"__subj_{i}")
+            for i, tm in enumerate(tms)
+        ]
+        graph_cols = [
+            self._graph_column(tm, resolve).alias(f"__g_{i}") for i, tm in enumerate(tms)
+        ]
+        records = records.select("*", *subj_cols, *graph_cols)
+
         quad_structs: list[Column] = []
         frames: list[DataFrame] = []
-        for tm in tms:
-            subject = compile_term_map(tm.subject_map.term_map, resolve, "subject")
+        for i, tm in enumerate(tms):
+            subject = F.col(f"__subj_{i}")
             s_ttype = effective_term_type(tm.subject_map.term_map, "subject")
-            graph = self._graph_column(tm, resolve)
+            graph = F.col(f"__g_{i}")
             target = self._target_id(tm)
 
             def quad(pred: Column, obj: Column, ttype, dtype, lang, *, subject=subject, s_ttype=s_ttype, graph=graph, target=target) -> Column:
