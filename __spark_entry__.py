@@ -1199,7 +1199,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # checked by tools/check_oracles.py (which merges this dict) and by
 # pytest parity gates (tests/test_extra_gates.py); they are simply not in
 # the driver's 50-row budget.
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality proxy (round 5): two-pass unigram
+    distribution (distributed top-K vocab) + broadcast-join scoring;
+    per-doc mean token log-probability with OOV floor."""
+    from rml_utils_processor_ts_spark.operators.text import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob_score(docs, vocab_size=1000)
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "unigram_logprob": q_unigram_logprob,
     "ann_lsh_index_topk": q_ann_lsh_index_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "rml_ldes_base_iri": q_rml_ldes_base_iri,
@@ -1704,6 +1715,25 @@ def _all_oracle_sql() -> dict[str, str]:
             -- text never holds capital A); no match -> no triple
             SELECT 'http://ex.org/nation/' || key, 'http://ex.org/ns/hasA', name
             FROM k WHERE name LIKE '%A%'
+        """,
+        "unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS tok FROM documents
+            ), freq AS (
+              SELECT tok, count(*) AS c FROM toks GROUP BY 1
+            ), total AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM freq
+            ), vocab AS (
+              SELECT tok, ln(c / (SELECT n_total FROM total)) AS logp
+              FROM freq ORDER BY c DESC, tok ASC LIMIT 1000
+            )
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   round(CAST(sum(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                         / count(*), 6) AS oov_fraction,
+                   round(sum(coalesce(v.logp, ln(1e-6))) / count(*), 4) AS mean_logprob
+            FROM toks t LEFT JOIN vocab v USING (tok)
+            GROUP BY 1
         """,
         "rml_sql_query": """
             SELECT 'http://ex.org/nation/' || c_nationkey AS s,

@@ -302,3 +302,62 @@ def repetition_signals(
             ).alias("top_bigram_fraction"),
         )
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    floor: float = 1e-6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy without an external LM:
+    two passes over the corpus.
+
+    Pass 1 builds the corpus unigram distribution and keeps the
+    ``vocab_size`` most frequent tokens (ties broken lexicographically
+    for determinism) — ``orderBy().limit()`` compiles to Spark's
+    distributed TakeOrderedAndProject (per-partition partial top-K, no
+    single-partition window). Pass 2 explodes documents to tokens and
+    broadcast-joins the tiny vocab: each token scores ln(count/total),
+    out-of-vocabulary tokens score ln(floor). Output per document:
+    ``n_tokens``, ``oov_fraction``, ``mean_logprob`` (rounded to 4
+    decimals — summation-order float drift is far below 1e-4).
+    Documents with no tokens produce no row.
+
+    Scale: the corpus streams through twice (token explode is
+    map-side); the only corpus-keyed Exchanges are the vocab count
+    aggregate and the per-doc rollup. The vocab side is broadcast —
+    at 10^12 docs the distribution pass is the same shape as a word
+    count, and scoring adds zero extra shuffles beyond the rollup."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    vocab = (
+        freq.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total))
+        .select("tok", F.log(F.col("c") / F.col("n_total")).alias("logp"))
+    )
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    import math
+
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_fraction"),
+            F.round(
+                F.sum(F.coalesce(F.col("logp"), F.lit(math.log(floor))))
+                / F.count("*"),
+                4,
+            ).alias("mean_logprob"),
+        )
+    )
