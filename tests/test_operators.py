@@ -389,3 +389,32 @@ def test_ivf_ann_trained_and_random_centroids(spark):
         for r in ivf_ann_topk(emb, qids, k=5, n_probe=3, centroids=trained_c).collect()
     }
     assert again == trained_hits
+
+
+def test_unigram_logprob_values_and_plan(spark):
+    """Corpus-LM proxy: hand-computable distribution on a tiny corpus
+    (vocab_size caps OOV), plan stays broadcast + distributed top-K —
+    no SortMergeJoin on the token stream, no single-partition window."""
+    import math
+
+    from rml_utils_processor_ts_spark.operators.text import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "zz zz")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=3, zz=2, b=1, c=1 (total 7); vocab_size=2 keeps
+    # {a, zz}; b/c are OOV at floor 1e-6
+    out = {r["doc_id"]: r for r in unigram_logprob_score(docs, vocab_size=2).collect()}
+    la, lz, lf = math.log(3 / 7), math.log(2 / 7), math.log(1e-6)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_logprob"] == round((2 * la + lf) / 3, 4)
+    assert out[1]["oov_fraction"] == round(1 / 3, 6)
+    assert out[2]["mean_logprob"] == round((la + lf) / 2, 4)
+    assert out[3]["mean_logprob"] == round(lz, 4) and out[3]["oov_fraction"] == 0.0
+
+    plan = unigram_logprob_score(docs, vocab_size=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
