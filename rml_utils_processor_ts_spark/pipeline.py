@@ -83,19 +83,41 @@ def run_pipeline(
     if run_id in completed_runs(spark, out_path):
         return {"run_id": run_id, "skipped": True, "reason": "already committed"}
 
+    import time as _time
+
+    metrics: dict[str, float] = {}
     pages = spark.read.parquet(pages_path)
+    t = _time.time()
+    # the consumed input range, stamped on every lineage row (north
+    # rule: "source url range") — one min/max agg over the pruned url
+    # column, negligible next to the mapping pass
+    rng = pages.agg(F.min("url").alias("lo"), F.max("url").alias("hi")).first()
     if verify_invariant:
         verify_extraction(pages, sample_fraction=0.05 if pages.rdd.getNumPartitions() > 8 else None)
+    metrics["verify_sec"] = round(_time.time() - t, 3)
 
+    t = _time.time()
     plan = parse_mapping(mapping_turtle, {"pages": f"pages:{pages_path}"})
     result = PlanExecutor(spark).execute(plan)
     triples = result.triples
+    metrics["plan_sec"] = round(_time.time() - t, 3)
 
     if alias_dict is not None:
+        t = _time.time()
         edges = alias_edges_from_triples(triples, alias_dict)
         triples = canonicalize_triples(triples, edges)
+        metrics["link_canonicalize_sec"] = round(_time.time() - t, 3)
 
-    summary = write_triple_table(triples, out_path, run_id=run_id)
+    t = _time.time()
+    summary = write_triple_table(
+        triples,
+        out_path,
+        run_id=run_id,
+        source_url_range=(rng["lo"], rng["hi"]),
+        stage_metrics=metrics,
+    )
+    metrics["materialize_sec"] = round(_time.time() - t, 3)
+    summary["stage_metrics"] = metrics
     summary["skipped"] = False
     return summary
 

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
     "run_id string, target_id string, bucket int, n_triples long, "
-    "min_subject string, max_subject string, wall_sec double"
+    "min_subject string, max_subject string, wall_sec double, "
+    "min_source_url string, max_source_url string"
 )
 
 
@@ -33,10 +34,20 @@ def write_triple_table(
     path: str,
     run_id: str,
     n_buckets: int = 16,
+    source_url_range: tuple[str, str] | None = None,
+    stage_metrics: dict | None = None,
 ) -> dict:
     """Materialize triples partitioned by subject-hash bucket; write
     lineage rows for the same snapshot; atomically repoint LATEST.
-    Returns the lineage summary dict."""
+    Returns the lineage summary dict.
+
+    ``source_url_range`` (min_url, max_url of the pages snapshot this
+    run consumed) stamps every lineage row, and ``stage_metrics``
+    (per-stage wall seconds etc.) lands in the snapshot's summary.json
+    — both commit WITH the data (before the LATEST repoint), per the
+    north rule's "source url range, triple counts, stage metrics"
+    lineage obligation: a resumed job can see exactly which input range
+    each committed snapshot covered and where time went."""
     spark = df.sparkSession
     t0 = time.time()
     version = _latest_version(path) + 1
@@ -45,6 +56,7 @@ def write_triple_table(
     bucketed = df.withColumn("bucket", F.pmod(F.xxhash64("s"), F.lit(n_buckets)).cast("int"))
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(snap_dir, "data"))
 
+    min_url, max_url = source_url_range or (None, None)
     lineage = (
         spark.read.parquet(os.path.join(snap_dir, "data"))
         .groupBy("bucket", "target_id")
@@ -55,7 +67,12 @@ def write_triple_table(
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("wall_sec", F.lit(time.time() - t0))
-        .select("run_id", "target_id", "bucket", "n_triples", "min_subject", "max_subject", "wall_sec")
+        .withColumn("min_source_url", F.lit(min_url).cast("string"))
+        .withColumn("max_source_url", F.lit(max_url).cast("string"))
+        .select(
+            "run_id", "target_id", "bucket", "n_triples", "min_subject",
+            "max_subject", "wall_sec", "min_source_url", "max_source_url",
+        )
     )
     lineage.write.mode("overwrite").parquet(os.path.join(snap_dir, "lineage"))
 
@@ -64,6 +81,8 @@ def write_triple_table(
         "version": version,
         "n_triples": sum(r["n_triples"] for r in lineage.select("n_triples").collect()),
         "wall_sec": time.time() - t0,
+        "source_url_range": list(source_url_range) if source_url_range else None,
+        "stage_metrics": stage_metrics or {},
     }
     with open(os.path.join(snap_dir, "summary.json"), "w") as fh:
         json.dump(summary, fh)

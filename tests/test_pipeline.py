@@ -88,3 +88,32 @@ def test_pipeline_cli(spark, pages_path, tmp_path):
     )
     assert rc == 0
     assert read_triple_table(spark, str(tmp_path / "graph_cli")).count() == 400
+
+
+def test_lineage_carries_url_range_and_stage_metrics(spark, pages_path, tmp_path):
+    """North rule lineage obligation: every lineage row records the
+    consumed source-url range; the snapshot summary records per-stage
+    wall metrics — both committed WITH the data."""
+    import json
+    import os
+
+    out = str(tmp_path / "graph_lineage")
+    s = run_pipeline(spark, pages_path, MAPPING, out, run_id="r1")
+    assert s["stage_metrics"]["verify_sec"] >= 0
+    assert "plan_sec" in s["stage_metrics"]
+
+    lineage = spark.read.parquet(os.path.join(out, "v_1", "lineage"))
+    rows = lineage.select("min_source_url", "max_source_url").distinct().collect()
+    assert len(rows) == 1
+    lo, hi = rows[0]["min_source_url"], rows[0]["max_source_url"]
+    assert lo is not None and hi is not None and lo <= hi
+    pages = spark.read.parquet(pages_path)
+    from pyspark.sql import functions as F
+
+    rng = pages.agg(F.min("url"), F.max("url")).first()
+    assert (lo, hi) == (rng[0], rng[1])
+
+    with open(os.path.join(out, "v_1", "summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["source_url_range"] == [lo, hi]
+    assert "verify_sec" in summary["stage_metrics"]
