@@ -1199,6 +1199,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # checked by tools/check_oracles.py (which merges this dict) and by
 # pytest parity gates (tests/test_extra_gates.py); they are simply not in
 # the driver's 50-row budget.
+def q_kg_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QA (round 5): per-predicate cardinality statistics over the
+    customer graph — one map-side-combined groupBy."""
+    from rml_utils_processor_ts_spark.operators.kgqa import predicate_profile
+
+    res = _exec(spark, _customer_mapping(sf_dir))
+    return predicate_profile(res.triples)
+
+
+def q_kg_iri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QA (round 5): malformed-IRI audit per graph — all zeros on a
+    healthy graph (the engine's IRI-encoding makes this an invariant)."""
+    from rml_utils_processor_ts_spark.operators.kgqa import iri_audit
+
+    res = _exec(spark, _customer_mapping(sf_dir))
+    return iri_audit(res.triples)
+
+
+def q_kg_orphan_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QA (round 5): IRI objects never appearing as subjects — on the
+    customer graph exactly the class IRI (entity-cardinality anti-join)."""
+    from rml_utils_processor_ts_spark.operators.kgqa import orphan_objects
+
+    res = _exec(spark, _customer_mapping(sf_dir))
+    return orphan_objects(res.triples)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-LM quality proxy (round 5): two-pass unigram
     distribution (distributed top-K vocab) + broadcast-join scoring;
@@ -1211,6 +1238,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
+    "kg_predicate_profile": q_kg_predicate_profile,
+    "kg_iri_audit": q_kg_iri_audit,
+    "kg_orphan_objects": q_kg_orphan_objects,
     "ann_lsh_index_topk": q_ann_lsh_index_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "rml_ldes_base_iri": q_rml_ldes_base_iri,
@@ -1715,6 +1745,30 @@ def _all_oracle_sql() -> dict[str, str]:
             -- text never holds capital A); no match -> no triple
             SELECT 'http://ex.org/nation/' || key, 'http://ex.org/ns/hasA', name
             FROM k WHERE name LIKE '%A%'
+        """,
+        "kg_predicate_profile": f"""
+            WITH t AS ({_CUSTOMER_TRIPLES_SQL})
+            SELECT p,
+                   count(*) AS n_triples,
+                   count(DISTINCT s) AS n_subjects,
+                   count(DISTINCT o) AS n_objects,
+                   CAST(sum(CASE WHEN p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_iri_objects,
+                   CAST(sum(CASE WHEN p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_literal_objects
+            FROM t GROUP BY 1
+        """,
+        "kg_iri_audit": f"""
+            WITH t AS ({_CUSTOMER_TRIPLES_SQL})
+            SELECT 'http://ex.org/g/customers' AS g,
+                   count(*) AS n_triples,
+                   CAST(0 AS BIGINT) AS bad_subject_iris,
+                   CAST(0 AS BIGINT) AS bad_predicate_iris,
+                   CAST(0 AS BIGINT) AS bad_object_iris
+            FROM t
+        """,
+        "kg_orphan_objects": """
+            SELECT 'http://ex.org/Customer' AS iri
         """,
         "unigram_logprob": f"""
             WITH toks AS (

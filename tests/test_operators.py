@@ -418,3 +418,42 @@ def test_unigram_logprob_values_and_plan(spark):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_kgqa_detects_bad_iris_and_orphans(spark):
+    """The QA operators must actually FIRE on unhealthy graphs (the
+    oracle gates cover the all-healthy customer graph)."""
+    from rml_utils_processor_ts_spark.operators.kgqa import (
+        iri_audit,
+        orphan_objects,
+        predicate_profile,
+    )
+
+    rows = [
+        # (s, s_termtype, p, o, o_termtype, o_datatype, o_lang, g)
+        ("http://a/1", "IRI", "http://p/knows", "http://a/2", "IRI", None, None, "http://g"),
+        ("http://a/2", "IRI", "http://p/knows", "http://a/3", "IRI", None, None, "http://g"),
+        ("http://a/1", "IRI", "http://p/name", "Alice", "Literal", None, None, "http://g"),
+        ("not an iri", "IRI", "http://p/name", "Bob", "Literal", None, None, "http://g"),
+        ("http://a/4", "IRI", "http://p/knows", "http://bad iri/x", "IRI", None, None, None),
+    ]
+    schema = ("s string, s_termtype string, p string, o string, o_termtype string, "
+              "o_datatype string, o_lang string, g string")
+    t = spark.createDataFrame(rows, schema)
+
+    audit = {r["g"]: r for r in iri_audit(t).collect()}
+    assert audit["http://g"]["bad_subject_iris"] == 1
+    assert audit[""]["bad_object_iris"] == 1
+    assert audit["http://g"]["bad_predicate_iris"] == 0
+
+    # a/3 is referenced but never a subject; the malformed object too
+    orphans = {r["iri"] for r in orphan_objects(t).collect()}
+    assert orphans == {"http://a/3", "http://bad iri/x"}
+    knows_only = {r["iri"] for r in orphan_objects(t, predicate="http://p/knows").collect()}
+    assert knows_only == orphans
+
+    prof = {r["p"]: r for r in predicate_profile(t).collect()}
+    assert prof["http://p/knows"]["n_triples"] == 3
+    assert prof["http://p/knows"]["n_iri_objects"] == 3
+    assert prof["http://p/name"]["n_literal_objects"] == 2
+    assert prof["http://p/knows"]["n_subjects"] == 3
