@@ -82,6 +82,17 @@ def main(n_pages: int) -> None:
     n_triples = graph.count()
     n_canon = graph.filter(F.col("s").startswith("http://ex.org/canon/")).count()
 
+    # QA audit over the committed graph (operators/kgqa): zero malformed
+    # IRIs, and the only orphan object is the class IRI — i.e. the
+    # canonicalization left no dangling entity references
+    from rml_utils_processor_ts_spark.operators.kgqa import iri_audit, orphan_objects
+
+    graph_t = graph.withColumn("o_termtype",
+                               F.when(F.col("o").startswith("http"), "IRI").otherwise("Literal"))
+    audit = iri_audit(graph_t.withColumn("s_termtype", F.lit("IRI"))).collect()
+    bad = sum(r["bad_subject_iris"] + r["bad_predicate_iris"] + r["bad_object_iris"] for r in audit)
+    orphans = [r["iri"] for r in orphan_objects(graph_t).collect()]
+
     # second snapshot -> second committed version
     s2 = run_pipeline(spark, pages_path, MAPPING, out_path, run_id="stress-2",
                       alias_dict=alias_dict)
@@ -98,8 +109,13 @@ def main(n_pages: int) -> None:
         "resume_skip_sec": round(resume_sec, 2),
         "second_snapshot_version": s2["version"],
         "run1_summary_n_triples": s1["n_triples"],
+        "stage_metrics": s1.get("stage_metrics"),
+        "qa_bad_iris": bad,
+        "qa_orphan_objects": orphans,
     }))
     assert n_canon > 0, "no canonicalized subjects — linking/CC did not run"
+    assert bad == 0, "malformed IRIs in the committed graph"
+    assert orphans == ["http://ex.org/Entity"], orphans
 
 
 if __name__ == "__main__":
