@@ -76,10 +76,21 @@ def run_pipeline(
     run_id: str,
     alias_dict: DataFrame | None = None,
     verify_invariant: bool = True,
+    stage_before_link: bool = True,
 ) -> dict:
     """Execute the full pipeline for one snapshot; returns the lineage
     summary. Safe to re-invoke after a kill: committed run ids short-
-    circuit, partial snapshots are invisible until the pointer moves."""
+    circuit, partial snapshots are invisible until the pointer moves.
+
+    ``stage_before_link``: with linking enabled, the extracted triples
+    are STAGED to parquet once and both the edge derivation and the
+    final rewrite read the staged table — without it, the lazy triple
+    frame re-runs the whole page-extraction pass for the CC edge
+    derivation AND again for the materialize (measured 2 full passes
+    at 6.4M pages). One compressed-parquet write is far cheaper than a
+    second extraction pass at any scale where the html/text payload
+    dominates; the staging dir lives beside the snapshot and is
+    removed after the commit."""
     if run_id in completed_runs(spark, out_path):
         return {"run_id": run_id, "skipped": True, "reason": "already committed"}
 
@@ -102,8 +113,18 @@ def run_pipeline(
     triples = result.triples
     metrics["plan_sec"] = round(_time.time() - t, 3)
 
+    staging_dir = None
     if alias_dict is not None:
         t = _time.time()
+        if stage_before_link:
+            import os as _os
+            import shutil as _shutil
+
+            staging_dir = _os.path.join(out_path, f"_staging_{run_id}")
+            triples.write.mode("overwrite").parquet(staging_dir)
+            triples = spark.read.parquet(staging_dir)
+            metrics["stage_triples_sec"] = round(_time.time() - t, 3)
+            t = _time.time()
         edges = alias_edges_from_triples(triples, alias_dict)
         triples = canonicalize_triples(triples, edges)
         metrics["link_canonicalize_sec"] = round(_time.time() - t, 3)
@@ -117,6 +138,8 @@ def run_pipeline(
         stage_metrics=metrics,
     )
     metrics["materialize_sec"] = round(_time.time() - t, 3)
+    if staging_dir is not None:
+        _shutil.rmtree(staging_dir, ignore_errors=True)
     summary["stage_metrics"] = metrics
     summary["skipped"] = False
     return summary
