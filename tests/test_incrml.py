@@ -494,3 +494,56 @@ def test_incrml_matrix_21_tms_parity():
         "('prop0=' || AnotherProperty4/@Value || '&' || 'prop1=' || YetAnotherProperty4/@Value"
         " || '&' || 'prop2=' || AnotherProperty1/@Value || '&' || 'prop3=' || YetAnotherProperty1/@Value)"
     ) in watched
+
+
+def test_incrml_over_page_table_snapshots(spark, tmp_path):
+    """North-star composition: the IncRML CDC expansion driven by two
+    PAGE-TABLE snapshots (the input_hint shape) — v2 emits exactly one
+    Update (changed label), one Delete (page dropped), silence for the
+    unchanged entity. Ties A12/B11 to the Common-Crawl-style source the
+    pipeline ingests."""
+    doc = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ; rml:source "pages:P" ;
+        rml:iterator "//data" ; rml:referenceFormulation ql:XPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://ex.org/e/{@id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "@label" ; rr:termType rr:Literal ] ] .
+"""
+    cfg = IncRMLConfig(state_base_path=str(tmp_path / "st"))
+    inc = expand_to_incrml(parse_mapping(doc), cfg)
+
+    def pages(path, rows):
+        spark.createDataFrame(
+            [(f"http://site/{i}", f"<resource>{body}</resource>") for i, body in enumerate(rows)],
+            "url string, text string",
+        ).write.mode("overwrite").parquet(path)
+
+    p1, p2 = str(tmp_path / "pages_v1"), str(tmp_path / "pages_v2")
+    pages(p1, ['<data id="1" label="a"></data><data id="2" label="b"></data>',
+               '<data id="3" label="c"></data>'])
+    # v2: entity 1 relabeled, entity 2 unchanged, entity 3's page gone
+    pages(p2, ['<data id="1" label="A2"></data><data id="2" label="b"></data>'])
+
+    store = StateStore(spark, str(tmp_path / "state_store"))
+
+    def run(path):
+        from copy import deepcopy
+
+        bound = deepcopy(inc)
+        for tm in bound.triples_maps:
+            tm.logical_source.source = f"pages:{path}"
+        res = PlanExecutor(spark, state_store=store).execute(bound)
+        rows = res.triples.collect()
+        store.commit_all(res.state_updates)
+        return {
+            (r["s"], r["o"].rsplit("#", 1)[-1])
+            for r in rows
+            if r["p"] == CFG.lifecycle.predicate
+        }
+
+    ev1 = run(p1)
+    assert ev1 == {(f"http://ex.org/e/{i}", "Create") for i in (1, 2, 3)}
+    ev2 = run(p2)
+    assert ev2 == {("http://ex.org/e/1", "Update"), ("http://ex.org/e/3", "Delete")}
