@@ -128,6 +128,7 @@ def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
         root = ET.fromstring(doc)
     except ET.ParseError:
         return []
+    _strip_xml_namespaces(root)
     matches = _xml_findall(root, iterator or "/*")
     out = []
     for el in matches:
@@ -136,6 +137,26 @@ def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
             rec[ref_column_name(ref)] = _xml_eval_ref(el, ref)
         out.append(rec)
     return out
+
+
+def _strip_xml_namespaces(root) -> None:
+    """Namespace-agnostic matching: rewrite ``{uri}tag`` Clark names (and
+    namespaced attribute names) to local names, in place. Without this a
+    feed declaring ANY xmlns silently matches zero records — ElementTree
+    parses ``<data xmlns="...">`` to tag ``{...}data`` which ``//data``
+    never finds. Local-name matching is the pragmatic choice absent a
+    prefix-map mechanism in the mapping language (the reference's Saxon
+    gets prefix bindings from the jar config; RML mappings in the wild
+    overwhelmingly write prefix-free local-name paths)."""
+    for el in root.iter():
+        tag = el.tag
+        if isinstance(tag, str) and tag.startswith("{"):
+            el.tag = tag.split("}", 1)[1]
+        if el.attrib and any(k.startswith("{") for k in el.attrib):
+            el.attrib = {
+                (k.split("}", 1)[1] if k.startswith("{") else k): v
+                for k, v in el.attrib.items()
+            }
 
 
 _XML_ATTR_STEP_RE = None
@@ -446,6 +467,14 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
                 )
             else:
                 nested = F.lit(False)
+            # namespaced documents route to the tree walker regardless of
+            # nesting: the fragment regex misses prefixed tags entirely
+            # (<d:data>) and from_xml field names shift under xmlns; the
+            # walker strips namespaces and matches local names. One
+            # substring probe per row (plain contains, not a regex).
+            nested = nested | F.coalesce(
+                F.contains(F.col(payload_col), F.lit("xmlns")), F.lit(False)
+            )
             fast = _xml_fast_records_from_frags(
                 with_frags.filter(~nested).select(*passthrough, F.explode("__frags").alias("__frag")),
                 rec_struct,

@@ -767,3 +767,33 @@ ex:m a rr:TriplesMap ;
     res = execute_mapping(spark, mapping)
     labels = sorted(r["o"] for r in res.triples.collect())
     assert labels == ["ARGENTINA", "BRAZIL", "CANADA"]
+
+
+def test_namespaced_xml_iterates_on_both_paths(spark):
+    """xmlns feeds (default AND prefixed namespaces) must produce
+    records: the tree walker strips namespaces to local names, and the
+    fast-path dispatcher routes xmlns rows to it (the fragment regex
+    cannot see <d:data> and from_xml shifts field names under xmlns).
+    A namespace-free sibling row stays on the fast path in the same
+    frame."""
+    from rml_utils_processor_ts_spark.plans.model import LogicalSource
+    from rml_utils_processor_ts_spark.sources.registry import (
+        _iterate_docs_df,
+        register_memory_source,
+        records_df,
+        ref_column_name,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ('<r><data id="plain" label="p"/></r>',),
+            ('<r xmlns="http://x"><data id="defns" label="d"/></r>',),
+            ('<d:r xmlns:d="http://x"><d:data d:id="prefns" label="q"/></d:r>',),
+        ],
+        "doc string",
+    )
+    register_memory_source("ns_docs", docs)
+    ls = LogicalSource(source="memory:ns_docs", kind="xpath", iterator="//data")
+    recs = records_df(spark, ls, ["@id", "@label"])
+    got = {(r[ref_column_name("@id")], r[ref_column_name("@label")]) for r in recs.collect()}
+    assert got == {("plain", "p"), ("defns", "d"), ("prefns", "q")}
