@@ -25,6 +25,9 @@ import re
 from dataclasses import dataclass
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+_RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 _TOKEN_RE = re.compile(
     r"""
@@ -39,6 +42,7 @@ _TOKEN_RE = re.compile(
     | (?P<dtype>\^\^)
     | (?P<bnode_label>_:[A-Za-z0-9_]+)
     | (?P<pname>[A-Za-z][\w.-]*:[\w.%-]*|:[\w.%-]+)
+    | (?P<boolean>\b(?:true|false)\b)
     | (?P<kw_a>\ba\b)
     | (?P<punct>[\[\]();,.])
     | (?P<number>[+-]?\d+(?:\.\d+)?)
@@ -184,6 +188,11 @@ class TurtleParser:
         if kind == "number":
             dt = "http://www.w3.org/2001/XMLSchema#" + ("decimal" if "." in val else "integer")
             return Term("literal", val, datatype=dt)
+        if kind == "boolean":
+            # Turtle short form: bare true/false ≙ "true"^^xsd:boolean
+            return Term(
+                "literal", val, datatype="http://www.w3.org/2001/XMLSchema#boolean"
+            )
         if kind == "punct" and val == "[":
             bnode = self._new_bnode()
             if toks.peek() != ("punct", "]"):
@@ -191,7 +200,22 @@ class TurtleParser:
             self._expect(toks, "]")
             return bnode
         if kind == "punct" and val == "(":
-            raise ValueError("turtle: RDF collections are not supported (none in RML fixtures)")
+            # RDF collection: (a b c) desugars to the standard
+            # rdf:first/rdf:rest bnode chain, () to rdf:nil
+            items: list[Term] = []
+            while toks.peek() != ("punct", ")"):
+                items.append(self._parse_term(toks))
+            toks.next()  # consume ')'
+            if not items:
+                return Term("iri", _RDF_NIL)
+            head = self._new_bnode()
+            node = head
+            for i, item in enumerate(items):
+                self.triples.append((node, Term("iri", _RDF_FIRST), item))
+                rest = self._new_bnode() if i < len(items) - 1 else Term("iri", _RDF_NIL)
+                self.triples.append((node, Term("iri", _RDF_REST), rest))
+                node = rest
+            return head
         raise ValueError(f"turtle: unexpected token {val!r}")
 
     def _parse_predicate_object_list(self, toks: _Tokens, subj: Term, in_bnode: bool = False):

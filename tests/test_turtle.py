@@ -109,3 +109,23 @@ ex:m a rr:TriplesMap ;
     rows = {(r["s"], r["o"]) for r in res.triples.collect()}
     assert len(rows) == 5
     assert all(o.endswith('of region "3"') for _, o in rows)
+
+
+def test_bare_boolean_literals():
+    """Turtle short form: bare true/false ≙ typed xsd:boolean literal
+    (wild mappings write rmlt:ldesGenerateImmutableIRI true unquoted)."""
+    t = parse_turtle('@prefix ex: <http://e/> .\nex:s ex:flag true ; ex:off false .')
+    objs = {(tr[1].value.rsplit("/", 1)[-1], tr[2].value, tr[2].datatype) for tr in t}
+    B = "http://www.w3.org/2001/XMLSchema#boolean"
+    assert ("flag", "true", B) in objs and ("off", "false", B) in objs
+
+
+def test_rdf_collections_desugar_to_first_rest():
+    t = parse_turtle("@prefix ex: <http://e/> .\nex:s ex:l (ex:a ex:b) . ex:t ex:e () .")
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    firsts = [tr for tr in t if tr[1].value == RDF + "first"]
+    rests = [tr for tr in t if tr[1].value == RDF + "rest"]
+    assert [f[2].value for f in firsts] == ["http://e/a", "http://e/b"]
+    assert rests[-1][2].value == RDF + "nil"
+    empty = [tr for tr in t if tr[1].value == "http://e/e"]
+    assert empty[0][2].value == RDF + "nil"
