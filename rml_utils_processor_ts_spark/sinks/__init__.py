@@ -7,6 +7,8 @@ from .nquads import (  # noqa: F401
     SERIALIZATION_WRITERS,
     nquad_line_column,
     ntriple_line_column,
+    parse_nquad_lines,
+    read_nquads,
     triples_to_nquad_lines,
     triples_to_ntriple_lines,
     turtle_subject_lines,

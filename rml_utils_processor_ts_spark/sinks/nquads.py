@@ -168,3 +168,83 @@ def write_serialized(df: DataFrame, path: str, serialization: str | None, partit
     if writer is None:
         raise ValueError(f"unsupported rmlt:serialization {serialization!r}")
     writer(df, path, partitions)
+
+
+# --------------------------------------------------------------------------
+# the inverse direction: N-Quads lines -> triple frame (round 5)
+# --------------------------------------------------------------------------
+
+_NQ_PATTERN = (
+    r'^\s*(?:<([^>]*)>|(_:\S+))'            # 1 subject IRI | 2 subject bnode
+    r'\s+<([^>]*)>'                          # 3 predicate IRI
+    r'\s+(?:<([^>]*)>|(_:\S+)|'             # 4 object IRI | 5 object bnode
+    r'"((?:[^"\\]|\\.)*)"'                # 6 literal body (escaped)
+    r'(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?)'  # 7 lang | 8 datatype
+    r'\s*(?:<([^>]*)>\s*)?\.\s*$'         # 9 graph IRI (optional)
+)
+
+
+def _unescape_literal(col: Column) -> Column:
+    # inverse of _escape_literal. A naive backslash-n-then-double-
+    # backslash chain corrupts an escaped backslash followed by 'n'
+    # (backslash backslash n on the wire is backslash+n DATA, not a
+    # newline) - so escaped backslashes park on a NUL sentinel first
+    # (cannot occur inside an N-Quads literal), then the single-char
+    # escapes resolve, then the sentinel restores.
+    out = F.regexp_replace(col, r"\\\\", "\x00")
+    out = F.regexp_replace(out, r"\\n", "\n")
+    out = F.regexp_replace(out, r"\\r", "\r")
+    out = F.regexp_replace(out, r"\\t", "\t")
+    out = F.regexp_replace(out, r'\\"', '"')
+    return F.regexp_replace(out, "\x00", r"\\")
+
+
+def parse_nquad_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """N-Quads lines -> the executor's triple frame (the exact inverse
+    of :func:`triples_to_nquad_lines`): re-ingest an exported graph, or
+    any external N-Quads/N-Triples dump, as a queryable DataFrame.
+
+    Pure Column regex extraction - no UDFs, scales as a line scan.
+    Comment lines (#...) and blank lines drop; a malformed line parses
+    to null subject/predicate, which the trailing filter drops (count
+    input vs output lines if strictness is needed)."""
+    c = F.col(line_col)
+
+    def grp(i: int) -> Column:
+        g = F.regexp_extract(c, _NQ_PATTERN, i)
+        return F.when(g == "", F.lit(None)).otherwise(g)
+
+    s_iri, s_bn = grp(1), grp(2)
+    o_iri, o_bn = grp(4), grp(5)
+    o_lit = F.regexp_extract(c, _NQ_PATTERN, 6)
+    matched = s_iri.isNotNull() | s_bn.isNotNull()
+    is_lit = o_iri.isNull() & o_bn.isNull() & matched
+    return (
+        lines.filter(~F.trim(c).startswith("#") & (F.trim(c) != ""))
+        .select(
+            F.coalesce(s_iri, F.regexp_replace(s_bn, "^_:", "")).alias("s"),
+            F.when(s_bn.isNotNull(), "BlankNode").otherwise("IRI").alias("s_termtype"),
+            grp(3).alias("p"),
+            F.coalesce(
+                o_iri,
+                F.regexp_replace(o_bn, "^_:", ""),
+                F.when(is_lit, _unescape_literal(o_lit)),
+            ).alias("o"),
+            F.when(o_iri.isNotNull(), "IRI")
+            .when(o_bn.isNotNull(), "BlankNode")
+            .otherwise("Literal")
+            .alias("o_termtype"),
+            grp(8).alias("o_datatype"),
+            grp(7).alias("o_lang"),
+            grp(9).alias("g"),
+            F.lit("default").alias("target_id"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("p").isNotNull())
+    )
+
+
+def read_nquads(spark, path: str) -> DataFrame:
+    """Read an N-Quads (or N-Triples) file/directory into the triple
+    frame. The sink's own output round-trips exactly
+    (tests/test_serialization.py::test_nquads_round_trip)."""
+    return parse_nquad_lines(spark.read.text(path), "value")

@@ -247,3 +247,35 @@ ex:m a rr:TriplesMap ;
     targets_p2 = {t for p, t in rows2 if p == "http://x/p2"}
     assert len(targets_p1) == 2 and "default" not in targets_p1
     assert len(targets_p2) == 1 and "default" not in targets_p2
+
+
+def test_nquads_round_trip(spark, tmp_path):
+    """write_nquads -> read_nquads reproduces the triple frame exactly:
+    IRIs, blank nodes, language/datatype literals, graphs, and literals
+    holding every escaped character class (quote, backslash, newline,
+    tab — including the adversarial backslash-then-n data case the
+    sentinel unescape exists for)."""
+    from rml_utils_processor_ts_spark.sinks import write_nquads
+    from rml_utils_processor_ts_spark.sinks.nquads import read_nquads
+
+    rows = [
+        ("http://s/1", "IRI", "http://p/a", "http://o/1", "IRI", None, None, "http://g/1", "default"),
+        ("b0", "BlankNode", "http://p/a", "plain", "Literal", None, None, None, "default"),
+        ("http://s/2", "IRI", "http://p/b", "hallo", "Literal", None, "de", None, "default"),
+        ("http://s/2", "IRI", "http://p/c", "5", "Literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None, "http://g/1", "default"),
+        ("http://s/3", "IRI", "http://p/d", 'quote " back \\ nl \n tab \t', "Literal",
+         None, None, None, "default"),
+        ("http://s/3", "IRI", "http://p/e", "backslash then n: \\n data", "Literal",
+         None, None, None, "default"),
+        ("http://s/4", "IRI", "http://p/f", "b1", "BlankNode", None, None, None, "default"),
+    ]
+    schema = ("s string, s_termtype string, p string, o string, o_termtype string, "
+              "o_datatype string, o_lang string, g string, target_id string")
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "rt.nq")
+    write_nquads(df, out)
+    back = read_nquads(spark, out)
+    orig = sorted(tuple(r) for r in df.collect())
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == orig
