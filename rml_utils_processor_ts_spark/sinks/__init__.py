@@ -10,11 +10,13 @@ from .nquads import (  # noqa: F401
     parse_nquad_lines,
     read_nquads,
     triples_to_nquad_lines,
+    trig_graph_lines,
     triples_to_ntriple_lines,
     turtle_subject_lines,
     write_nquads,
     write_ntriples,
     write_serialized,
+    write_trig,
     write_turtle,
 )
 from .router import write_targets  # noqa: F401

@@ -248,3 +248,61 @@ def read_nquads(spark, path: str) -> DataFrame:
     frame. The sink's own output round-trips exactly
     (tests/test_serialization.py::test_nquads_round_trip)."""
     return parse_nquad_lines(spark.read.text(path), "value")
+
+
+def trig_graph_lines(df: DataFrame, max_group_rows: int = 10_000) -> DataFrame:
+    """Deterministic TriG: one line per (graph, subject) —
+    ``<g> { <s> <p1> o1, o2 ; <p2> o3 . }`` — with default-graph
+    subjects as bare Turtle statements. TriG permits a graph label in
+    multiple blocks (the dataset is the union), which is what makes the
+    format line-parallel: every line is a self-contained block, so the
+    byte-stable hash-partition + sort writer applies unchanged.
+    Same hot-subject spill guard as turtle_subject_lines: a subject
+    with more than ``max_group_rows`` triples in one graph emits
+    per-triple blocks instead of one giant aggregated row."""
+    s = _term(F.col("s"), F.col("s_termtype"), F.lit(None), F.lit(None))
+    p = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    o = _term(F.col("o"), F.col("o_termtype"), F.col("o_datatype"), F.col("o_lang"))
+    g = F.coalesce(F.col("g"), F.lit(""))
+    all_terms = df.select(g.alias("gt"), s.alias("st"), p.alias("pt"), o.alias("ot"))
+
+    def wrap(stmt: Column) -> Column:
+        return F.when(
+            F.col("gt") != "",
+            F.concat(F.lit("<"), F.col("gt"), F.lit("> { "), stmt, F.lit(" }")),
+        ).otherwise(stmt)
+
+    hot = (
+        all_terms.groupBy("gt", "st")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_group_rows)
+        .select("gt", "st")
+    )
+    spilled = (
+        all_terms.join(F.broadcast(hot), ["gt", "st"], "left_semi")
+        .select("gt", F.concat(F.concat_ws(" ", "st", "pt", "ot"), F.lit(" .")).alias("stmt"))
+        .distinct()
+        .select(wrap(F.col("stmt")).alias("line"))
+    )
+    terms = all_terms.join(F.broadcast(hot), ["gt", "st"], "left_anti")
+    by_pred = terms.groupBy("gt", "st", "pt").agg(
+        F.array_join(F.sort_array(F.collect_set("ot")), ", ").alias("objs")
+    )
+    by_subj = by_pred.groupBy("gt", "st").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.concat_ws(" ", F.col("pt"), F.col("objs")))),
+            " ; ",
+        ).alias("body")
+    )
+    grouped = by_subj.select(
+        "gt",
+        F.concat(F.concat_ws(" ", F.col("st"), F.col("body")), F.lit(" .")).alias("stmt"),
+    ).select(wrap(F.col("stmt")).alias("line"))
+    return grouped.unionByName(spilled)
+
+
+def write_trig(df: DataFrame, path: str, partitions: int = 8) -> None:
+    _write_lines(trig_graph_lines(df).select(F.col("line").alias("value")), path, partitions)
+
+
+SERIALIZATION_WRITERS[_FORMATS + "TriG"] = write_trig

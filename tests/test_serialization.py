@@ -279,3 +279,36 @@ def test_nquads_round_trip(spark, tmp_path):
     orig = sorted(tuple(r) for r in df.collect())
     got = sorted(tuple(r) for r in back.collect())
     assert got == orig
+
+
+def test_trig_lines_and_byte_stable_write(spark, tmp_path):
+    from rml_utils_processor_ts_spark.sinks.nquads import trig_graph_lines, write_trig
+
+    rows = [
+        ("http://s/1", "IRI", "http://p/a", "x", "Literal", None, None, "http://g/1", "default"),
+        ("http://s/1", "IRI", "http://p/a", "y", "Literal", None, None, "http://g/1", "default"),
+        ("http://s/1", "IRI", "http://p/b", "http://o/2", "IRI", None, None, "http://g/1", "default"),
+        ("http://s/2", "IRI", "http://p/a", "z", "Literal", None, None, None, "default"),
+    ]
+    schema = ("s string, s_termtype string, p string, o string, o_termtype string, "
+              "o_datatype string, o_lang string, g string, target_id string")
+    df = spark.createDataFrame(rows, schema)
+    lines = sorted(r["line"] for r in trig_graph_lines(df).collect())
+    assert lines == [
+        '<http://g/1> { <http://s/1> <http://p/a> "x", "y" ; <http://p/b> <http://o/2> . }',
+        '<http://s/2> <http://p/a> "z" .',
+    ]
+
+    import glob
+    import hashlib
+
+    def digest(path):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(f"{path}/part-*")):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    write_trig(df, p1)
+    write_trig(df, p2)
+    assert digest(p1) == digest(p2)
