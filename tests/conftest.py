@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_session_for_property(spark):
+    """Alias fixture: hypothesis @given cannot take function-scoped
+    fixtures; the session-scoped spark is fine."""
+    return spark

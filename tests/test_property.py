@@ -244,3 +244,35 @@ def test_walker_matches_elementtree_on_shared_subset(root, path):
         ET.tostring(root), path,
         [e.tag for e in got], [e.tag for e in expected],
     )
+
+
+# -- N-Quads writer/reader round-trip on adversarial literals ----------------
+
+_literal_content = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(_literal_content, min_size=1, max_size=6, unique=True))
+def test_nquad_line_escape_round_trip(spark_session_for_property, vals):
+    """serialize -> parse returns the exact literal for arbitrary
+    unicode content (quotes, backslashes, \\n-lookalikes, emoji...).
+    Exercises _escape_literal and the sentinel unescape chain."""
+    from rml_utils_processor_ts_spark.sinks.nquads import (
+        parse_nquad_lines,
+        triples_to_nquad_lines,
+    )
+
+    spark = spark_session_for_property
+    rows = [
+        (f"http://s/{i}", "IRI", "http://p/x", v, "Literal", None, None, None, "default")
+        for i, v in enumerate(vals)
+    ]
+    schema = ("s string, s_termtype string, p string, o string, o_termtype string, "
+              "o_datatype string, o_lang string, g string, target_id string")
+    df = spark.createDataFrame(rows, schema)
+    back = parse_nquad_lines(triples_to_nquad_lines(df))
+    got = {(r["s"], r["o"]) for r in back.collect()}
+    assert got == {(r[0], r[3]) for r in rows}
