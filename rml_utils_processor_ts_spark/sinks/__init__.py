@@ -5,6 +5,7 @@ lineage rows, per-target routing honoring rmlt:serialization.
 
 from .nquads import (  # noqa: F401
     SERIALIZATION_WRITERS,
+    jsonld_subject_lines,
     nquad_line_column,
     ntriple_line_column,
     parse_nquad_lines,
@@ -15,6 +16,7 @@ from .nquads import (  # noqa: F401
     turtle_subject_lines,
     write_nquads,
     write_ntriples,
+    write_jsonld_lines,
     write_serialized,
     write_trig,
     write_turtle,

@@ -312,3 +312,33 @@ def test_trig_lines_and_byte_stable_write(spark, tmp_path):
     write_trig(df, p1)
     write_trig(df, p2)
     assert digest(p1) == digest(p2)
+
+
+def test_jsonld_lines_valid_and_deterministic(spark):
+    """Every line is standalone valid JSON-LD (escaping via to_json);
+    IRI vs language vs typed vs plain objects take their compact forms;
+    repeated builds emit identical lines."""
+    import json as _json
+
+    from rml_utils_processor_ts_spark.sinks.nquads import jsonld_subject_lines
+
+    rows = [
+        ("http://s/1", "IRI", "http://p/a", 'x "q" \\ y', "Literal", None, None, "http://g/1", "default"),
+        ("http://s/1", "IRI", "http://p/a", "http://o/1", "IRI", None, None, "http://g/1", "default"),
+        ("http://s/1", "IRI", "http://p/b", "hi", "Literal", None, "en", "http://g/1", "default"),
+        ("http://s/2", "IRI", "http://p/c", "5", "Literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None, None, "default"),
+    ]
+    schema = ("s string, s_termtype string, p string, o string, o_termtype string, "
+              "o_datatype string, o_lang string, g string, target_id string")
+    df = spark.createDataFrame(rows, schema)
+    lines1 = sorted(r["line"] for r in jsonld_subject_lines(df).collect())
+    lines2 = sorted(r["line"] for r in jsonld_subject_lines(df).collect())
+    assert lines1 == lines2
+    docs = [_json.loads(ln) for ln in lines1]
+    by_id = {d["@id"]: d for d in docs}
+    assert by_id["http://s/1"]["@graph"] == "http://g/1"
+    assert {"@id": "http://o/1"} in by_id["http://s/1"]["http://p/a"]
+    assert {"@value": 'x "q" \\ y'} in by_id["http://s/1"]["http://p/a"]
+    assert by_id["http://s/1"]["http://p/b"] == [{"@value": "hi", "@language": "en"}]
+    assert by_id["http://s/2"]["http://p/c"][0]["@type"].endswith("integer")
