@@ -203,6 +203,38 @@ def _register_grel_string_functions() -> None:
             raise ValueError(f"{fn.function_iri} needs valueParameter + string_sub")
         return ct(a, "value"), ct(b, "value")
 
+    # math transforms (GREL param name p_dec_n; valueParameter accepted
+    # too via _single_param's fallback). Output renders as an integer
+    # string for the integral results (GREL floor/ceil/round return
+    # numbers; ".0" suffixes would leak Spark's double rendering).
+    def _math(op):
+        def build(fn: FunctionCall, ct) -> Column:
+            v = _param(fn, g + "p_dec_n")
+            value = ct(v, "value") if v is not None else _single_param(fn, ct)
+            return op(value.cast("double")).cast("long").cast("string")
+
+        return build
+
+    register_function(g + "math_floor", _math(F.floor))
+    register_function(g + "math_ceil", _math(F.ceil))
+    register_function(g + "math_round", _math(lambda c: F.round(c, 0)))
+    register_function(
+        g + "math_abs",
+        lambda fn, ct: F.abs(_single_param(fn, ct).cast("double")).cast("string"),
+    )
+
+    def _format_date(fn: FunctionCall, ct) -> Column:
+        # grel:date_formatDate(value, pattern): Java SimpleDateFormat-
+        # style pattern constant; deterministic given the input value
+        # (no now()/timezone surprises — session TZ pinned UTC).
+        value = _param(fn, voc.GREL_VALUE_PARAMETER) or _param(fn, g + "p_date_d")
+        pat = _param(fn, g + "p_string_pattern")
+        if value is None or pat is None or pat.constant is None:
+            raise ValueError("grel:date_formatDate needs valueParameter + constant p_string_pattern")
+        return F.date_format(ct(value, "value").cast("timestamp"), pat.constant)
+
+    register_function(g + "date_formatDate", _format_date)
+
     register_function(
         g + "string_contains", lambda fn, ct: (lambda a, b: a.contains(b))(*_binary_str(fn, ct))
     )

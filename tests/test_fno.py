@@ -241,3 +241,48 @@ def test_vocabulary_covers_reference_inventory():
                 continue
             missing.append(iri)
     assert missing == [], f"reference vocabulary terms without a counterpart: {missing}"
+
+
+GREL = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
+NUM_DOC = '[{"id": "1", "x": "3.7", "neg": "-2.3", "ts": "2024-03-05 14:30:00"}]'
+
+
+def _run_num(spark, fn_block):
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping as _em
+
+    doc = f"""
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/{{id}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/v> ] ;
+        rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+            {fn_block}
+        ] ]
+    ] .
+"""
+    res = _em(spark, doc, {"d.json": "inline:" + NUM_DOC})
+    return [r["o"] for r in res.triples.collect() if r["p"] == "http://x/v"][0]
+
+
+def test_grel_math_functions(spark):
+    def block(fn, param="x"):
+        return (
+            f"""rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <{GREL}{fn}> ] ] ;
+               rr:predicateObjectMap [ rr:predicate <{GREL}p_dec_n> ; rr:objectMap [ rml:reference "{param}" ] ]"""
+        )
+
+    assert _run_num(spark, block("math_floor")) == "3"
+    assert _run_num(spark, block("math_ceil")) == "4"
+    assert _run_num(spark, block("math_round")) == "4"
+    assert _run_num(spark, block("math_floor", "neg")) == "-3"
+
+
+def test_grel_date_format(spark):
+    fn_block = (
+        f"""rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <{GREL}date_formatDate> ] ] ;
+           rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "ts" ] ] ;
+           rr:predicateObjectMap [ rr:predicate <{GREL}p_string_pattern> ; rr:objectMap [ rr:constant "yyyy/MM/dd HH:mm" ] ]"""
+    )
+    assert _run_num(spark, fn_block) == "2024/03/05 14:30"
