@@ -217,11 +217,22 @@ def _register_grel_string_functions() -> None:
 
     register_function(g + "math_floor", _math(F.floor))
     register_function(g + "math_ceil", _math(F.ceil))
-    register_function(g + "math_round", _math(lambda c: F.round(c, 0)))
-    register_function(
-        g + "math_abs",
-        lambda fn, ct: F.abs(_single_param(fn, ct).cast("double")).cast("string"),
-    )
+    # GREL round is Java Math.round = floor(x + 0.5): round(-2.5) -> -2,
+    # unlike Spark's F.round HALF_UP which gives -3 (ADVICE r5).
+    register_function(g + "math_round", _math(lambda c: F.floor(c + F.lit(0.5))))
+
+    def _math_abs(fn: FunctionCall, ct) -> Column:
+        # Same integral-string contract as floor/ceil/round: abs("-3")
+        # renders "3", not Spark's double rendering "3.0"; fractional
+        # inputs keep their decimals (abs(3.5) -> "3.5").
+        v = _param(fn, g + "p_dec_n")
+        value = (ct(v, "value") if v is not None else _single_param(fn, ct)).cast("double")
+        a = F.abs(value)
+        return F.when(a == F.floor(a), a.cast("long").cast("string")).otherwise(
+            a.cast("string")
+        )
+
+    register_function(g + "math_abs", _math_abs)
 
     def _format_date(fn: FunctionCall, ct) -> Column:
         # grel:date_formatDate(value, pattern): Java SimpleDateFormat-

@@ -129,7 +129,6 @@ def run_pipeline(
         triples = canonicalize_triples(triples, edges)
         metrics["link_canonicalize_sec"] = round(_time.time() - t, 3)
 
-    t = _time.time()
     summary = write_triple_table(
         triples,
         out_path,
@@ -137,10 +136,10 @@ def run_pipeline(
         source_url_range=(rng["lo"], rng["hi"]),
         stage_metrics=metrics,
     )
-    metrics["materialize_sec"] = round(_time.time() - t, 3)
+    # write_triple_table stamps materialize_sec itself so the persisted
+    # summary.json and this return value agree (ADVICE r5)
     if staging_dir is not None:
         _shutil.rmtree(staging_dir, ignore_errors=True)
-    summary["stage_metrics"] = metrics
     summary["skipped"] = False
     return summary
 

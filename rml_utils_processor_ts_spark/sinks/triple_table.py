@@ -76,13 +76,20 @@ def write_triple_table(
     )
     lineage.write.mode("overwrite").parquet(os.path.join(snap_dir, "lineage"))
 
+    wall = time.time() - t0
+    # materialize_sec is stamped HERE so the persisted summary.json and
+    # the dict returned to run_pipeline carry the same stage_metrics —
+    # patching it in after the write left the on-disk lineage record
+    # permanently missing the materialization timing (ADVICE r5).
+    metrics = dict(stage_metrics or {})
+    metrics["materialize_sec"] = round(wall, 3)
     summary = {
         "run_id": run_id,
         "version": version,
         "n_triples": sum(r["n_triples"] for r in lineage.select("n_triples").collect()),
-        "wall_sec": time.time() - t0,
+        "wall_sec": wall,
         "source_url_range": list(source_url_range) if source_url_range else None,
-        "stage_metrics": stage_metrics or {},
+        "stage_metrics": metrics,
     }
     with open(os.path.join(snap_dir, "summary.json"), "w") as fh:
         json.dump(summary, fh)

@@ -50,8 +50,14 @@ class InMemoryStateStore(StateBackend):
     mirroring the parquet backend's ``v_N`` directories and Iceberg's
     ``VERSION AS OF``."""
 
-    def __init__(self, spark: SparkSession):
+    #: commit() refuses frames larger than this — the backend collects
+    #: every snapshot to the driver, so an unbounded commit is a silent
+    #: driver OOM in a pipeline that should be on the parquet backend.
+    DEFAULT_MAX_ROWS = 1_000_000
+
+    def __init__(self, spark: SparkSession, max_rows: int = DEFAULT_MAX_ROWS):
         self.spark = spark
+        self.max_rows = max_rows
         # state_id -> [(schema, rows), ...] — the committed frame's OWN
         # schema is retained (like a parquet/Iceberg round-trip would);
         # re-imposing STATE_SCHEMA column order here silently scrambled
@@ -72,7 +78,17 @@ class InMemoryStateStore(StateBackend):
         return self.spark.createDataFrame(rows, schema)
 
     def commit(self, state_id: str, df: DataFrame) -> int:
-        rows = [list(r) for r in df.collect()]
+        # limit(max_rows + 1) bounds the driver transfer even when the
+        # caller hands us an oversized frame — we never collect past the
+        # ceiling we are about to reject.
+        rows = [list(r) for r in df.limit(self.max_rows + 1).collect()]
+        if len(rows) > self.max_rows:
+            raise ValueError(
+                f"InMemoryStateStore.commit({state_id!r}): state exceeds "
+                f"max_rows={self.max_rows}; this backend collects snapshots "
+                "to the driver. Use operators.cdc.StateStore (versioned "
+                "parquet) or IcebergStateStore for pipeline-sized state."
+            )
         self._versions.setdefault(state_id, []).append((df.schema, rows))
         return len(self._versions[state_id])
 

@@ -279,6 +279,42 @@ def test_grel_math_functions(spark):
     assert _run_num(spark, block("math_floor", "neg")) == "-3"
 
 
+def test_grel_math_round_and_abs_semantics(spark):
+    """GREL round is Java Math.round = floor(x + 0.5), so round(-2.5)
+    is -2 (Spark's HALF_UP would say -3); abs renders integral results
+    without the '.0' suffix, same contract as floor/ceil/round, while
+    fractional results keep their decimals (r5 VERDICT #3 / ADVICE)."""
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping as _em
+
+    doc = '[{"id": "1", "a": "-2.5", "b": "2.5", "c": "-3", "d": "3.5", "e": "-2.7"}]'
+
+    def run(fn, param):
+        fn_block = (
+            f"""rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <{GREL}{fn}> ] ] ;
+               rr:predicateObjectMap [ rr:predicate <{GREL}p_dec_n> ; rr:objectMap [ rml:reference "{param}" ] ]"""
+        )
+        mapping = f"""
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ rr:template "http://x/{{id}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant <http://x/v> ] ;
+        rr:objectMap [ a fnml:FunctionTermMap ; fnml:functionValue [
+            {fn_block}
+        ] ]
+    ] .
+"""
+        res = _em(spark, mapping, {"d.json": "inline:" + doc})
+        return [r["o"] for r in res.triples.collect() if r["p"] == "http://x/v"][0]
+
+    assert run("math_round", "a") == "-2"   # Math.round(-2.5) = -2
+    assert run("math_round", "b") == "3"
+    assert run("math_abs", "c") == "3"      # integral: no ".0" leak
+    assert run("math_abs", "d") == "3.5"    # fractional keeps decimals
+    assert run("math_abs", "e") == "2.7"
+
+
 def test_grel_date_format(spark):
     fn_block = (
         f"""rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <{GREL}date_formatDate> ] ] ;

@@ -117,3 +117,8 @@ def test_lineage_carries_url_range_and_stage_metrics(spark, pages_path, tmp_path
         summary = json.load(fh)
     assert summary["source_url_range"] == [lo, hi]
     assert "verify_sec" in summary["stage_metrics"]
+    # materialize_sec is stamped inside write_triple_table so the
+    # persisted summary.json and the returned dict agree (r5 ADVICE:
+    # patching it in afterwards left the on-disk record without it)
+    assert "materialize_sec" in summary["stage_metrics"]
+    assert summary["stage_metrics"] == s["stage_metrics"]

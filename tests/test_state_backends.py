@@ -123,3 +123,23 @@ def test_in_memory_versions_replay(spark):
     assert store.commit("s", df2) == 2
     assert [r[2] for r in store.read("s").collect()] == ["h2"]
     assert [r[2] for r in store.read_version("s", 1).collect()] == ["h1"]
+
+
+def test_in_memory_commit_refuses_oversized_state(spark):
+    """The in-memory backend collects every snapshot to the driver — an
+    unbounded commit is a silent driver OOM, so it raises past max_rows
+    and the error points at the pipeline-sized backends (r5 VERDICT #7).
+    The collect itself is bounded by limit(max_rows+1): rejecting a
+    10^9-row frame must not first pull 10^9 rows."""
+    import pytest
+
+    from rml_utils_processor_ts_spark.operators.cdc import STATE_SCHEMA
+
+    store = InMemoryStateStore(spark, max_rows=3)
+    small = spark.createDataFrame([(f"k{i}", "i", "h") for i in range(3)], STATE_SCHEMA)
+    assert store.commit("s", small) == 1
+    big = spark.createDataFrame([(f"k{i}", "i", "h") for i in range(4)], STATE_SCHEMA)
+    with pytest.raises(ValueError, match="max_rows=3.*parquet"):
+        store.commit("s", big)
+    # the failed commit must not have versioned anything
+    assert store.commit("s", small) == 2
