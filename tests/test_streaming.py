@@ -294,3 +294,77 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert got == {"alpha", "beta", "gamma"}
     assert n_stream == 3 == batch.count()
     assert {r["text"] for r in batch.collect()} == got
+
+
+def test_kafka_records_stage_checkpoint_recovery(spark, tmp_path):
+    """The Kafka value->records stage under a REAL micro-batch query with
+    checkpoint recovery (r5 VERDICT #4): Kafka-shaped rows (binary value
+    + topic/partition/offset) arrive through a file stream, run through
+    kafka_records_df, and sink to parquet with a checkpoint. The query
+    is stopped mid-stream (simulated kill), more messages arrive, and a
+    NEW query resumes from the checkpoint. Exactly-once contract: the
+    resumed run's total output equals an uninterrupted batch run over
+    all messages — no drops, no duplicates across the restart."""
+    import json
+    import os
+
+    from rml_utils_processor_ts_spark.plans.model import LogicalSource
+    from rml_utils_processor_ts_spark.sources.registry import (
+        kafka_records_df,
+        ref_column_name,
+    )
+
+    src = tmp_path / "kafka_src"
+    os.makedirs(src)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    schema = "value binary, topic string, partition int, offset long"
+
+    def msg(offset, records):
+        body = json.dumps({"records": records}).encode()
+        return (bytearray(body), "pages", 0, offset)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    write_batch([msg(0, [{"id": "a", "v": "1"}, {"id": "b", "v": "2"}])])
+    write_batch([msg(1, [{"id": "c", "v": "3"}])])
+
+    ls = LogicalSource(source="kafka://broker/pages", kind="kafka", iterator="$.records[*]")
+    refs = ["id", "v"]
+
+    def records(df):
+        return kafka_records_df(df, ls, refs, passthrough=["offset"])
+
+    def start_query():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+        return (
+            records(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # simulated kill after the first two files
+    interim = spark.read.parquet(out).count()
+    assert interim == 3
+
+    write_batch([msg(2, [{"id": "d", "v": "4"}, {"id": "e", "v": "5"}])])
+    q = start_query()  # resume from the checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = [ref_column_name("id"), ref_column_name("v"), "offset"]
+    got = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(out).collect())
+    oracle = sorted(
+        tuple(r[c] for c in cols)
+        for r in records(spark.read.parquet(str(src))).collect()
+    )
+    assert got == oracle and len(got) == 5
