@@ -9,6 +9,19 @@ Implemented entirely with built-in JVM expressions: ``url_encode``
 (application/x-www-form-urlencoded) post-fixed to RFC-3986 form
 (space '+' -> '%20', '%7E' -> '~'), keeping the hot path inside
 whole-stage codegen — no Python UDF.
+
+R2RML's IRI-safe production percent-encodes only characters outside
+``iunreserved`` — non-ASCII letters (``é``, CJK, ...) are iunreserved
+and must stay RAW, which is also what RMLMapper emits (the official
+kg-construct test-case expectations encode ``Venus Williams`` ->
+``Venus%20Williams`` but keep accented names unescaped). url_encode
+percent-encodes every non-ASCII byte, so a second pass restores
+multi-byte UTF-8 percent-sequences >= U+00A0 back to raw characters:
+mark each run, split, unhex + decode('UTF-8'). After url_encode the
+alphabet is [A-Za-z0-9.\\-_~%+], so TAB is a collision-free marker and
+even/odd split parity identifies the runs exactly. C1 controls
+(U+0080-U+009F, 2-byte %C2%8x/%C2%9x) are NOT iunreserved and stay
+encoded — the run regex starts 2-byte sequences at %C2%A0.
 """
 
 from __future__ import annotations
@@ -16,9 +29,26 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# runs of UTF-8 percent-sequences for code points >= U+00A0
+_MB_RUN = (
+    "(?:%[Cc]2%[ABab][0-9A-Fa-f]"                      # U+00A0-00BF
+    "|%[Cc][3-9A-Fa-f]%[89ABab][0-9A-Fa-f]"            # U+00C0-03FF
+    "|%[Dd][0-9A-Fa-f]%[89ABab][0-9A-Fa-f]"            # -U+07FF
+    "|%[Ee][0-9A-Fa-f](?:%[89ABab][0-9A-Fa-f]){2}"     # 3-byte BMP
+    "|%[Ff][0-4](?:%[89ABab][0-9A-Fa-f]){3})+"         # 4-byte astral
+)
+
 
 def iri_encode(col: Column) -> Column:
     encoded = F.url_encode(col)
     encoded = F.regexp_replace(encoded, r"\+", "%20")
     encoded = F.regexp_replace(encoded, r"%7E", "~")
-    return encoded
+    marked = F.regexp_replace(encoded, _MB_RUN, "\t$0\t")
+
+    def fix(t: Column, i: Column) -> Column:
+        raw = F.decode(F.unhex(F.regexp_replace(t, "%", "")), "UTF-8")
+        return F.when(F.pmod(i, F.lit(2)) == 0, t).otherwise(raw)
+
+    restored = F.array_join(F.transform(F.split(marked, "\t"), fix), "")
+    # escape-free values (the common key/id case) skip the run scan
+    return F.when(encoded.contains("%"), restored).otherwise(encoded)

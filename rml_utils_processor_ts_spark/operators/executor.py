@@ -90,6 +90,28 @@ def _collect_refs(tm: TriplesMap) -> list[str]:
     return out
 
 
+# absolute-IRI shape: a scheme, then no whitespace/control or the
+# RFC 3987 excluded delimiters anywhere
+_IRI_SCHEME_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+_IRI_BAD_CHAR_RX = r'[\x00-\x20<>"{}|^\x60\\]'
+
+
+def _valid_iri_term(c: Column) -> Column:
+    return c.rlike(_IRI_SCHEME_RX) & ~c.rlike(_IRI_BAD_CHAR_RX)
+
+
+def _valid_iri_quad() -> Column:
+    """Row predicate: every IRI-typed term in the quad is a valid
+    absolute IRI (literals and blank nodes exempt; ``_:`` graph labels
+    are blank nodes by the g-column convention)."""
+    s_ok = (F.col("s_termtype") != "IRI") | _valid_iri_term(F.col("s"))
+    p_ok = _valid_iri_term(F.col("p"))
+    o_ok = (F.col("o_termtype") != "IRI") | _valid_iri_term(F.col("o"))
+    g = F.col("g")
+    g_ok = g.isNull() | g.startswith("_:") | _valid_iri_term(g)
+    return s_ok & p_ok & o_ok & g_ok
+
+
 def _obj_struct(
     pred: Column, obj: Column, ttype: Column, dtype: Column, lang: Column, target: Column
 ) -> Column:
@@ -122,6 +144,7 @@ class PlanExecutor:
         dedupe: bool = True,
         ldes_ts_col: str = "warc_ts",
         on_missing_source: str = "raise",
+        validate_iris: bool = True,
     ):
         self.spark = spark
         self.state_store = state_store
@@ -145,6 +168,13 @@ class PlanExecutor:
         if on_missing_source not in ("raise", "skip"):
             raise ValueError(f"on_missing_source must be 'raise' or 'skip', got {on_missing_source!r}")
         self.on_missing_source = on_missing_source
+        # R2RML/RML data-error semantics (official test cases RMLTC0002e
+        # family): a term map with rr:termType rr:IRI whose value is not
+        # a valid absolute IRI produces NO triple (the row drops, the
+        # run continues). Templates are IRI-safe by construction; this
+        # catches rml:reference-sourced and relative IRIs. Two rlikes
+        # per IRI column, pure codegen.
+        self.validate_iris = validate_iris
         self._scan_cache: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
 
     # -- scans -------------------------------------------------------------
@@ -303,6 +333,8 @@ class PlanExecutor:
         triples = frames[0]
         for f in frames[1:]:
             triples = triples.unionByName(f)
+        if self.validate_iris:
+            triples = triples.filter(_valid_iri_quad())
         if self.dedupe:
             # RDF graphs are sets (B12): duplicate quads collapse.
             triples = triples.dropDuplicates(TRIPLE_COLUMNS)

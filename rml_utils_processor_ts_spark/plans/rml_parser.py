@@ -295,7 +295,18 @@ def _parse_pom(g: Graph, node: Term) -> PredicateObjectMap:
         pred = TermMap(constant=p.value, constant_is_iri=(p.kind == "iri"))
     obj_node = g.object(node, voc.RR_OBJECT_MAP)
     if obj_node is None:
-        raise MappingParseError("PredicateObjectMap without objectMap")
+        # rr:object constant shortcut (R2RML §6.3): equivalent to an
+        # objectMap with rr:constant — IRI node => IRI term, literal
+        # node => literal term
+        o = g.object(node, voc.RR_OBJECT)
+        if o is None:
+            raise MappingParseError("PredicateObjectMap without objectMap")
+        lt_node = g.object(node, voc.RML_LOGICAL_TARGET)
+        return PredicateObjectMap(
+            predicate=pred,
+            object=TermMap(constant=o.value, constant_is_iri=(o.kind == "iri")),
+            logical_target=_parse_logical_target(g, lt_node) if lt_node is not None else None,
+        )
     # rml:logicalTarget on the POM or its object map (broader RML-target
     # surface than the subject-map-only reference fixtures): routes this
     # POM's quads to the union of subject target + this target

@@ -56,6 +56,7 @@ RR_SUBJECT_MAP = RR + "subjectMap"
 RR_PREDICATE_OBJECT_MAP = RR + "predicateObjectMap"
 RR_PREDICATE_MAP = RR + "predicateMap"
 RR_PREDICATE = RR + "predicate"
+RR_OBJECT = RR + "object"  # constant shortcut, R2RML §6.3
 RR_OBJECT_MAP = RR + "objectMap"
 RR_CONSTANT = RR + "constant"
 RR_TEMPLATE = RR + "template"
@@ -210,6 +211,7 @@ PREFIXES = {
     "td": TD,
     "hctl": HCTL,
     "ex": "http://example.org/",
+    "foaf": "http://xmlns.com/foaf/0.1/",  # ubiquitous in the official RML test cases
 }
 
 STANDARD_PREFIX_HEADER = "\n".join(f"@prefix {p}: <{iri}> ." for p, iri in PREFIXES.items())

@@ -1,0 +1,315 @@
+"""RML conformance sweep (round 6, r5 VERDICT #2): a curated replay of
+the official kg-construct RML test-case themes — the de facto spec of
+the RMLMapper semantics the reference delegates to its Java jar
+(/root/reference/src/rml/rml.ts:435-444).
+
+Each case is data-driven: an inline source + mapping + the exact quad
+set RMLMapper's documented semantics produce. Case ids reference the
+official suite's theme families (RMLTC0000/0001 basics, 0002 term-map
+errors + IRI safety, 0004 null handling, 0007 classes/graphs, 0009
+joins, 0015 language tags, 0016 datatypes, 0019/0020 IRI encoding and
+blank nodes). Results are summarized into PARITY.md §conformance by
+tools/conformance_report.py, which imports CASES from here.
+
+Deviations (documented, justified):
+- D1 JSON natural typing: RMLMapper historically stringifies JSON
+  scalars (5 -> "5" plain literal) without inferring xsd types; the
+  newer W3C CG spec adds inference. We match RMLMapper: plain literal,
+  lexical form preserved.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+EX = "http://example.com/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_LS_JSON = (
+    'rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ; '
+    "rml:referenceFormulation ql:JSONPath ]"
+)
+
+# one row mirroring the suite's student.csv / sport.csv shapes
+_STUDENTS = (
+    '[{"Id": "10", "Name": "Venus", "Sport": "100"},'
+    ' {"Id": "11", "Name": "Fernando", "Sport": "101"},'
+    ' {"Id": "12", "Name": "David", "Sport": null}]'
+)
+_SPORTS = '[{"ID": "100", "Label": "Tennis"}, {"ID": "101", "Label": "Moto"}]'
+
+
+def _m(body: str) -> str:
+    return f"ex:m a rr:TriplesMap ;\n  {_LS_JSON} ;\n  {body} .\n"
+
+
+# (case_id, theme, mapping_turtle, sources, expected quad tuples
+#  (s, s_tt, p, o, o_tt, dtype, lang, g))
+CASES: list[tuple] = [
+    (
+        "RMLTC0000-theme",
+        "subject template + rr:class only",
+        _m('rr:subjectMap [ rr:template "http://example.com/{Id}" ; rr:class foaf:Person ]'),
+        {"d.json": "inline:" + '[{"Id": "10"}]'},
+        {(EX + "10", "IRI", RDF_TYPE, FOAF + "Person", "IRI", None, None, None)},
+    ),
+    (
+        "RMLTC0001a-theme",
+        "reference object map",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; "
+            'rr:objectMap [ rml:reference "Name" ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        {(EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, None)},
+    ),
+    (
+        "RMLTC0001b-theme",
+        "rr:constant object shortcut (rr:object)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; rr:object \"fixed\" ] ;\n"
+            "  rr:predicateObjectMap [ rr:predicate ex:knows ; rr:object ex:someone ]"
+        ),
+        {"d.json": "inline:" + '[{"Id": "10"}]'},
+        {
+            (EX + "10", "IRI", FOAF + "name", "fixed", "Literal", None, None, None),
+            (EX + "10", "IRI", "http://example.org/knows", "http://example.org/someone", "IRI", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0002a-theme",
+        "two POMs from one row",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/Student/{Id}/{Name}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:id ; rr:objectMap [ rml:reference \"Id\" ] ] ;\n"
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; rr:objectMap [ rml:reference \"Name\" ] ]"
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        {
+            (EX + "Student/10/Venus", "IRI", "http://example.org/id", "10", "Literal", None, None, None),
+            (EX + "Student/10/Venus", "IRI", FOAF + "name", "Venus", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0002e-theme",
+        "invalid IRI from reference drops the triple, run continues",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:link ; "
+            'rr:objectMap [ rml:reference "Url" ; rr:termType rr:IRI ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "Url": "http://ok.org/x"}, {"Id": "2", "Url": "not an iri"}]'},
+        {(EX + "1", "IRI", "http://example.org/link", "http://ok.org/x", "IRI", None, None, None)},
+    ),
+    (
+        "RMLTC0002-relative-theme",
+        "relative IRI (no base resolution available) drops",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:link ; "
+            'rr:objectMap [ rml:reference "Url" ; rr:termType rr:IRI ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "Url": "relative/path"}]'},
+        set(),
+    ),
+    (
+        "RMLTC0004a-theme",
+        "null and missing references produce no triple; empty string is a triple",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; rr:objectMap [ rml:reference \"V\" ] ]"
+        ),
+        {
+            "d.json": "inline:"
+            + '[{"Id": "1", "V": "x"}, {"Id": "2", "V": null}, {"Id": "3"}, {"Id": "4", "V": ""}]'
+        },
+        {
+            (EX + "1", "IRI", "http://example.org/v", "x", "Literal", None, None, None),
+            (EX + "4", "IRI", "http://example.org/v", "", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0007e-theme",
+        "rr:graphMap template on the subject map scopes every POM + class quad",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ; rr:class foaf:Person ;\n'
+            '    rr:graphMap [ rr:template "http://example.com/graph/{Id}" ] ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; rr:objectMap [ rml:reference \"Name\" ] ]"
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        {
+            (EX + "10", "IRI", RDF_TYPE, FOAF + "Person", "IRI", None, None, EX + "graph/10"),
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, EX + "graph/10"),
+        },
+    ),
+    (
+        "RMLTC0009a-theme",
+        "referencing object map with join condition",
+        f"""
+ex:student a rr:TriplesMap ;
+  {_LS_JSON} ;
+  rr:subjectMap [ rr:template "http://example.com/{{Id}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:plays ;
+    rr:objectMap [
+      rr:parentTriplesMap ex:sport ;
+      rml:joinCondition [ fnml:functionValue [
+        rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <http://users.ugent.be/~bjdmeest/function/grel.ttl#equal> ] ] ;
+        rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "Sport" ] ] ;
+        rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ; rr:objectMap [ rr:parentTermMap [ rml:reference "ID" ] ] ]
+      ] ]
+    ]
+  ] .
+ex:sport a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "s.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://example.com/sport/{{ID}}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:label ; rr:objectMap [ rml:reference "Label" ] ] .
+""",
+        {"d.json": "inline:" + _STUDENTS, "s.json": "inline:" + _SPORTS},
+        {
+            (EX + "10", "IRI", "http://example.org/plays", EX + "sport/100", "IRI", None, None, None),
+            (EX + "11", "IRI", "http://example.org/plays", EX + "sport/101", "IRI", None, None, None),
+            (EX + "sport/100", "IRI", "http://example.org/label", "Tennis", "Literal", None, None, None),
+            (EX + "sport/101", "IRI", "http://example.org/label", "Moto", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0015a-theme",
+        "rr:language tags the literal",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:desc ; "
+            'rr:objectMap [ rml:reference "Name" ; rr:language "en-US" ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        {(EX + "10", "IRI", "http://example.org/desc", "Venus", "Literal", None, "en-US", None)},
+    ),
+    (
+        "RMLTC0016a-theme",
+        "explicit rr:datatype preserves the lexical form",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:n ; "
+            f'rr:objectMap [ rml:reference "V" ; rr:datatype <{XSD}integer> ] ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:d ; "
+            f'rr:objectMap [ rml:reference "W" ; rr:datatype <{XSD}double> ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "V": "05", "W": "4.60"}]'},
+        {
+            (EX + "10", "IRI", "http://example.org/n", "05", "Literal", XSD + "integer", None, None),
+            (EX + "10", "IRI", "http://example.org/d", "4.60", "Literal", XSD + "double", None, None),
+        },
+    ),
+    (
+        "RMLTC0019a-theme",
+        "IRI-unsafe template characters percent-encode (space, slash, &, =)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Name}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:q ; "
+            'rr:objectMap [ rr:template "http://example.com/q?{Q}" ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Name": "Venus Williams", "Q": "a/b&c=d"}]'},
+        {
+            (
+                EX + "Venus%20Williams", "IRI", "http://example.org/q",
+                EX + "q?a%2Fb%26c%3Dd", "IRI", None, None, None,
+            )
+        },
+    ),
+    (
+        "RMLTC0019b-theme",
+        "iunreserved (non-ASCII) template characters stay raw",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Name}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; rr:objectMap [ rml:reference \"Name\" ] ]"
+        ),
+        {"d.json": "inline:" + '[{"Name": "Bj\\u00f6rk Gu\\u00f0mundsd\\u00f3ttir"}]'},
+        {
+            (
+                EX + "Björk%20Guðmundsdóttir", "IRI", FOAF + "name",
+                "Björk Guðmundsdóttir", "Literal", None, None, None,
+            )
+        },
+    ),
+    (
+        "RMLTC0020-literal-template-theme",
+        "templates in Literal position do not percent-encode",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:label ; "
+            'rr:objectMap [ rr:template "{Name} ({Id})" ; rr:termType rr:Literal ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus Williams"}]'},
+        {(EX + "10", "IRI", "http://example.org/label", "Venus Williams (10)", "Literal", None, None, None)},
+    ),
+    (
+        "RMLTC-bnode-subject-theme",
+        "blank-node subjects: same template value = same node, rows distinct",
+        _m(
+            'rr:subjectMap [ rr:template "s{Id}" ; rr:termType rr:BlankNode ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; rr:objectMap [ rml:reference \"Name\" ] ]"
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "Name": "a"}, {"Id": "1", "Name": "a2"}, {"Id": "2", "Name": "b"}]'},
+        {
+            ("s1", "BlankNode", FOAF + "name", "a", "Literal", None, None, None),
+            ("s1", "BlankNode", FOAF + "name", "a2", "Literal", None, None, None),
+            ("s2", "BlankNode", FOAF + "name", "b", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC-dup-elim-theme",
+        "duplicate rows collapse (an RDF graph is a set)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; rr:objectMap [ rml:reference \"V\" ] ]"
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "x"}, {"Id": "1", "V": "x"}]'},
+        {(EX + "1", "IRI", "http://example.org/v", "x", "Literal", None, None, None)},
+    ),
+    (
+        "RMLTC-json-natural-theme",
+        "JSON scalars stringify with lexical form preserved (deviation D1)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:i ; rr:objectMap [ rml:reference \"I\" ] ] ;\n"
+            "  rr:predicateObjectMap [ rr:predicate ex:b ; rr:objectMap [ rml:reference \"B\" ] ]"
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "I": 5, "B": true}]'},
+        {
+            (EX + "1", "IRI", "http://example.org/i", "5", "Literal", None, None, None),
+            (EX + "1", "IRI", "http://example.org/b", "true", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC-xsd-string-theme",
+        "explicit xsd:string datatype is recorded on the term",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:s ; "
+            f'rr:objectMap [ rml:reference "V" ; rr:datatype <{XSD}string> ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "x"}]'},
+        {(EX + "1", "IRI", "http://example.org/s", "x", "Literal", XSD + "string", None, None)},
+    ),
+]
+
+
+def _quads(df):
+    return {
+        (r["s"], r["s_termtype"], r["p"], r["o"], r["o_termtype"],
+         r["o_datatype"], r["o_lang"], r["g"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_conformance_case(spark, case):
+    case_id, theme, mapping, sources, expected = case
+    res = execute_mapping(spark, mapping, sources)
+    assert _quads(res.triples) == expected, f"{case_id}: {theme}"

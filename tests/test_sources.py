@@ -606,9 +606,11 @@ ex:m a rr:TriplesMap ;
 
 def test_iri_encoding_of_template_values(spark):
     """Hard-part #1 from the build plan: template values in IRI position
-    percent-encode per RFC 3986 (space %20 not '+', unicode UTF-8
-    percent-escaped, reserved chars escaped, '~' unreserved) while
-    LITERAL-position templates stay raw."""
+    percent-encode per R2RML's IRI-safe production (space %20 not '+',
+    reserved ASCII escaped, '~' unreserved, and — r6 conformance fix —
+    non-ASCII iunreserved characters stay RAW, matching RMLMapper and
+    the official kg-construct expectations) while LITERAL-position
+    templates stay raw."""
     mapping = """
 ex:m a rr:TriplesMap ;
     rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
@@ -625,7 +627,7 @@ ex:m a rr:TriplesMap ;
     rows = {r["s"]: r["o"] for r in res.triples.collect()}
     assert rows["http://x/item/a%20b"] == "val a b"  # space: %20, literal raw
     assert rows["http://x/item/x%2Fy%3Fz"] == "val x/y?z"  # reserved escaped
-    assert rows["http://x/item/f%C3%BCr"] == "val für"  # UTF-8 percent pairs
+    assert rows["http://x/item/für"] == "val für"  # iunreserved: raw
     assert rows["http://x/item/t~i"] == "val t~i"  # '~' unreserved
 
 
