@@ -6,11 +6,15 @@ this module is only consulted on SyntaxError):
 
 * function predicates: ``contains(A, 'v')``, ``starts-with(A, 'v')``,
   ``not(P)``, ``position() <op> n`` — where ``A`` is ``.``, ``text()``,
-  ``@attr``, or a relative element path, and ``P`` is any supported
-  non-positional predicate;
+  ``@attr``, ``@*``, ``substring(A, s[, l])``, or a relative element
+  path, and ``P`` is any supported non-positional predicate;
+* numeric predicates (r6): ``number(A) <op> k``, ``A <op> k`` (implicit
+  number() conversion, NaN fails every comparison),
+  ``string-length(A) <op> k``;
 * non-child axes as steps: ``following-sibling::name``,
   ``preceding-sibling::name``, ``ancestor::name``, ``parent::name``
-  (positions follow XPath proximity order: reverse axes count outward);
+  (positions follow XPath proximity order: reverse axes count outward),
+  plus (r6) ``self::``, ``descendant::``, ``descendant-or-self::``;
 * everything composes with the predicates ElementTree already supports
   (``[n]``, ``[last()]``, ``[last()-k]``, ``[@a]``, ``[@a='v']``,
   ``[child]``, ``[child='v']``) and with ``//`` descendant steps.
@@ -33,7 +37,10 @@ from __future__ import annotations
 import re
 import xml.etree.ElementTree as ET
 
-_EXT_MARKERS = ("::", "contains(", "starts-with(", "position()", "not(")
+_EXT_MARKERS = (
+    "::", "contains(", "starts-with(", "position()", "not(",
+    "number(", "string-length(", "substring(",
+)
 
 _POSITION_RE = re.compile(r"^position\(\)\s*(<=|>=|!=|<|>|=)\s*(\d+)$")
 _LAST_RE = re.compile(r"^last\(\)(?:\s*-\s*(\d+))?$")
@@ -41,7 +48,25 @@ _FUNC2_RE = re.compile(r"^(contains|starts-with)\(\s*(.*?)\s*,\s*'([^']*)'\s*\)$
 _FUNC2_DQ_RE = re.compile(r'^(contains|starts-with)\(\s*(.*?)\s*,\s*"([^"]*)"\s*\)$')
 _CMP_RE = re.compile(r"^(.*?)\s*(!=|=)\s*'([^']*)'$")
 _CMP_DQ_RE = re.compile(r'^(.*?)\s*(!=|=)\s*"([^"]*)"$')
-_AXES = ("following-sibling", "preceding-sibling", "ancestor", "parent")
+# numeric comparison: RHS is a number literal (position() handled first)
+_NUMCMP_RE = re.compile(r"^(.+?)\s*(<=|>=|!=|<|>|=)\s*(-?\d+(?:\.\d+)?)$")
+_SUBSTR_RE = re.compile(
+    r"^substring\(\s*(.*?)\s*,\s*(-?\d+(?:\.\d+)?)\s*(?:,\s*(-?\d+(?:\.\d+)?)\s*)?\)$"
+)
+_STRLEN_RE = re.compile(r"^string-length\(\s*(.*?)\s*\)$")
+_NUMBER_RE = re.compile(r"^number\(\s*(.*?)\s*\)$")
+_AXES = (
+    "following-sibling", "preceding-sibling", "ancestor", "parent",
+    "descendant", "descendant-or-self", "self",
+)
+
+
+def _xpath_substring(v: str, start: float, length: float | None) -> str:
+    """XPath 1.0 substring(): 1-based, round() semantics, position
+    window [round(start), round(start)+round(length))."""
+    s = round(start)
+    e = float("inf") if length is None else s + round(length)
+    return "".join(ch for i, ch in enumerate(v, 1) if i >= s and i < e)
 
 
 def has_extended_syntax(path: str) -> bool:
@@ -181,11 +206,40 @@ class _Walker:
         arg = arg.strip()
         if arg in (".", "text()", "string(.)"):
             return [_string_value(el)]
+        m = _SUBSTR_RE.match(arg)
+        if m:
+            inner, start, length = m.groups()
+            return [
+                _xpath_substring(v, float(start), float(length) if length else None)
+                for v in self._operand_values(el, inner)
+            ]
+        if arg == "@*":
+            return list(el.attrib.values())
         if arg.startswith("@"):
             v = el.get(arg[1:])
             return [v] if v is not None else []
         # relative element path (may itself use extended syntax)
         return [_string_value(m) for m in self.findall(el, arg)]
+
+    def _numeric_values(self, el, arg: str) -> list[float]:
+        """Operand -> numbers, per the XPath number() conversion (non-
+        numeric strings become NaN, which fails every comparison)."""
+        arg = arg.strip()
+        m = _STRLEN_RE.match(arg)
+        if m:
+            inner = m.group(1)
+            vals = [_string_value(el)] if not inner else self._operand_values(el, inner)
+            return [float(len(v)) for v in vals]
+        m = _NUMBER_RE.match(arg)
+        if m:
+            arg = m.group(1) or "."
+        out = []
+        for v in self._operand_values(el, arg):
+            try:
+                out.append(float(v.strip()))
+            except ValueError:
+                pass  # NaN: comparisons always false, so just drop
+        return out
 
     # ---- predicate evaluation ----------------------------------------
     def _filter(self, items: list, pred: str) -> list:
@@ -227,6 +281,16 @@ class _Walker:
             if op == "=":
                 return any(v == lit for v in vals)
             return any(v != lit for v in vals)
+        m = _NUMCMP_RE.match(pred)
+        if m:
+            arg, op, lit = m.groups()
+            k = float(lit)
+            ops = {"<": lambda x: x < k, "<=": lambda x: x <= k,
+                   ">": lambda x: x > k, ">=": lambda x: x >= k,
+                   "=": lambda x: x == k, "!=": lambda x: x != k}
+            return any(ops[op](x) for x in self._numeric_values(el, arg))
+        if pred == "@*":
+            return bool(el.attrib)
         if pred.startswith("@"):
             return el.get(pred[1:]) is not None
         # bare path existence
@@ -249,6 +313,12 @@ class _Walker:
                     out.append(p)  # proximity order: nearest first
                 p = self.parent_of(p)
             return out
+        if axis == "self":
+            return [el] if ok(el) else []
+        if axis == "descendant":
+            return [e for e in el.iter() if e is not el and ok(e)]
+        if axis == "descendant-or-self":
+            return [e for e in el.iter() if ok(e)]
         if axis in ("following-sibling", "preceding-sibling"):
             p = self.parent_of(el)
             if p is None:

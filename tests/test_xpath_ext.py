@@ -126,3 +126,54 @@ def test_union_paths(root):
     assert ids(overlap) == ["b1", "b2", "b3", "b4"]
     # relative branches evaluate from the document root
     assert [e.get("id") for e in _xml_findall(root, "shelf[1] | shelf[2]")] == ["s1", "s2"]
+
+
+def ids(nodes):
+    return [e.get("id") for e in nodes]
+
+
+def test_numeric_comparisons(root):
+    """number()/implicit numeric predicates (r6): year > 1966 selects
+    Earthsea+Neuromancer; a book with no year converts to NaN and fails
+    every comparison."""
+    assert ids(findall_ext(root, ".//book[year > 1966]")) == ["b2", "b3"]
+    assert ids(findall_ext(root, ".//book[number(year) >= 1984]")) == ["b3"]
+    assert ids(findall_ext(root, ".//book[year != 1965]")) == ["b2", "b3"]
+    assert ids(findall_ext(root, ".//book[year < 1900]")) == []
+
+
+def test_string_length_predicate(root):
+    # titles: Dune=4, Earthsea=8, Neuromancer=11, Dune Messiah notes=18
+    assert ids(findall_ext(root, ".//book[string-length(title) > 10]")) == ["b3", "b4"]
+    assert ids(findall_ext(root, ".//book[string-length(title) = 4]")) == ["b1"]
+
+
+def test_substring_in_comparisons(root):
+    """XPath 1.0 substring(): 1-based, length optional; usable as the
+    operand of = and contains()."""
+    assert ids(findall_ext(root, ".//book[substring(title, 1, 4) = 'Dune']")) == ["b1", "b4"]
+    assert ids(findall_ext(root, ".//book[contains(substring(title, 6), 'Messiah')]")) == ["b4"]
+
+
+def test_attribute_wildcard(root):
+    """@* matches any attribute: existence and as a comparison operand."""
+    # every book has attributes; year/title elements have none
+    assert ids(findall_ext(root, ".//book[@*]")) == ["b1", "b2", "b3", "b4"]
+    assert ids(findall_ext(root, ".//book[@* = 'essay']")) == ["b4"]
+
+
+def test_descendant_axes(root):
+    assert ids(findall_ext(root, "descendant::book")) == ["b1", "b2", "b3", "b4"]
+    shelf = findall_ext(root, ".//shelf[@id='s1']")[0]
+    w_books = findall_ext(shelf, "descendant-or-self::book")
+    assert ids(w_books) == ["b1", "b2", "b3"]
+    assert ids(findall_ext(shelf, "descendant-or-self::shelf")) == ["s1"]
+    assert ids(findall_ext(shelf, "self::shelf")) == ["s1"]
+    assert findall_ext(shelf, "self::book") == []
+
+
+def test_new_markers_route_extended():
+    assert has_extended_syntax(".//book[number(year) > 1966]")
+    assert has_extended_syntax(".//book[string-length(title) = 4]")
+    assert has_extended_syntax(".//book[substring(title, 1, 4) = 'Dune']")
+    assert has_extended_syntax("descendant-or-self::book")
