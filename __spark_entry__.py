@@ -1147,7 +1147,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize_dedup": q_url_normalize_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "quality_filter": q_quality_filter,
-    "sample_by_hash": q_sample_by_hash,
     "doc_chunking": q_doc_chunking,
     "sessionization": q_sessionization,
     "simhash": q_simhash,
@@ -1156,8 +1155,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonicalize_triples": q_canonicalize_triples,
     "multi_target_routing": q_multi_target_routing,
     "incrml_expansion": q_incrml_expansion,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
     "rml_xpath_predicates": q_rml_xpath_predicates,
     "rml_sql_query": q_rml_sql_query,
     "rml_grel_functions": q_rml_grel_functions,
@@ -1177,7 +1174,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nquads_lines": q_nquads_lines,
     "cdc_diff": q_cdc_diff,
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1187,18 +1183,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_agg": q_events_window_agg,
     "cc_components": q_cc_components,
     "entity_link_exact": q_entity_link_exact,
+    # + the round-6 rotation registered below the q_kg_*/q_unigram defs
 }
 
 # The driver's correctness gate records at most 50 queries (verified in
 # round 4: QUERIES entries past position 50 were silently unchecked).
-# These five are result-identical or serialization-variant twins of gated
-# queries — the persisted-index ANN paths return exactly their non-index
-# twins' rows by construction, N-Triples/Turtle re-serialize the same
-# customer triples the gated nquads_lines covers, and the ldesBaseIRI
-# variant shares the versioned-LDES machinery. They stay fully oracle-
+# EXTRA_QUERIES holds twins of gated queries whose kernels a gated
+# sibling already drives — the persisted-index ANN paths return exactly
+# their non-index twins' rows by construction, the non-index ANN paths
+# share kernels with ann_cosine_topk, N-Triples/Turtle re-serialize the
+# same customer triples the gated nquads_lines covers, the ldesBaseIRI
+# variant shares the versioned-LDES machinery, hash-sampling shares the
+# md5 family with stratified_sample, and minhash signatures are computed
+# inside the gated dedup_minhash_lsh_pairs. They stay fully oracle-
 # checked by tools/check_oracles.py (which merges this dict) and by
 # pytest parity gates (tests/test_extra_gates.py); they are simply not in
-# the driver's 50-row budget.
+# the driver's 50-row budget. Round 6 rotated the four round-5 operators
+# into the gated dict so each gets driver verification at least once.
 def q_kg_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG QA (round 5): per-predicate cardinality statistics over the
     customer graph — one map-side-combined groupBy."""
@@ -1236,11 +1237,25 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(docs, vocab_size=1000)
 
 
+# round-6 rotation (r5 VERDICT #1): the four round-5 operators get
+# their first driver-verified round; the slots come from long-green
+# twins whose kernels stay driver-covered by a gated sibling
+# (ann_cosine_topk, stratified_sample, dedup_minhash_lsh_pairs) and
+# strictly local-checked as EXTRA_QUERIES.
+QUERIES.update(
+    {
+        "kg_predicate_profile": q_kg_predicate_profile,
+        "kg_iri_audit": q_kg_iri_audit,
+        "kg_orphan_objects": q_kg_orphan_objects,
+        "unigram_logprob": q_unigram_logprob,
+    }
+)
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "unigram_logprob": q_unigram_logprob,
-    "kg_predicate_profile": q_kg_predicate_profile,
-    "kg_iri_audit": q_kg_iri_audit,
-    "kg_orphan_objects": q_kg_orphan_objects,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "sample_by_hash": q_sample_by_hash,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "ann_lsh_index_topk": q_ann_lsh_index_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "rml_ldes_base_iri": q_rml_ldes_base_iri,
