@@ -43,7 +43,9 @@ def get_spark(app_name: str = "rml_spark", cpus: str | None = None):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("RML_SPARK_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves startup + a port); RML_SPARK_UI=true
+        # exposes the REST API for shuffle/spill evidence capture
+        .config("spark.ui.enabled", os.environ.get("RML_SPARK_UI", "false"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     # local mode: shuffle files on tmpfs kill disk-latency variance (a

@@ -36,6 +36,40 @@ ex:map_pages a rr:TriplesMap ;
 """
 
 
+def _ui_metrics(spark) -> dict | None:
+    """Aggregate shuffle/spill evidence from the Spark UI REST API
+    (needs RML_SPARK_UI=true). Peak columns answer the scale question
+    directly: does any single stage's shuffle approach executor memory,
+    and did anything spill?"""
+    import json as _j
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    try:
+        apps = _j.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+        app_id = apps[0]["id"]
+        stages = _j.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages?status=complete")
+        )
+        return {
+            "completed_stages": len(stages),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+            "memory_spill_bytes": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            "disk_spill_bytes": sum(s.get("diskBytesSpilled", 0) for s in stages),
+            "peak_stage_shuffle_write_bytes": max(
+                (s.get("shuffleWriteBytes", 0) for s in stages), default=0
+            ),
+            "peak_execution_memory_bytes": max(
+                (s.get("peakExecutionMemory", 0) for s in stages), default=0
+            ),
+        }
+    except Exception as e:  # noqa: BLE001 — evidence capture must not fail the run
+        return {"error": str(e)}
+
+
 def main(n_pages: int) -> None:
     from pyspark.sql import functions as F
 
@@ -68,6 +102,7 @@ def main(n_pages: int) -> None:
                       alias_dict=alias_dict)
     run1_sec = time.time() - t0
     assert not s1["skipped"], s1
+    ui = _ui_metrics(spark)  # run-1 attribution: captured before resume/v2
 
     # resume: the SAME run id must short-circuit without touching data
     t0 = time.time()
@@ -112,6 +147,7 @@ def main(n_pages: int) -> None:
         "stage_metrics": s1.get("stage_metrics"),
         "qa_bad_iris": bad,
         "qa_orphan_objects": orphans,
+        "ui_metrics_run1": ui,
     }))
     assert n_canon > 0, "no canonicalized subjects — linking/CC did not run"
     assert bad == 0, "malformed IRIs in the committed graph"
