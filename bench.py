@@ -57,7 +57,9 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entrymod.queries()
+    # the bench set is stable across rounds even as entries rotate
+    # between the driver-gated dict and EXTRA_QUERIES (50-row cap)
+    queries = {**entrymod.queries(), **entrymod.EXTRA_QUERIES}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
