@@ -15,13 +15,27 @@ R2RML's IRI-safe production percent-encodes only characters outside
 and must stay RAW, which is also what RMLMapper emits (the official
 kg-construct test-case expectations encode ``Venus Williams`` ->
 ``Venus%20Williams`` but keep accented names unescaped). url_encode
-percent-encodes every non-ASCII byte, so a second pass restores
-multi-byte UTF-8 percent-sequences >= U+00A0 back to raw characters:
-mark each run, split, unhex + decode('UTF-8'). After url_encode the
-alphabet is [A-Za-z0-9.\\-_~%+], so TAB is a collision-free marker and
-even/odd split parity identifies the runs exactly. C1 controls
-(U+0080-U+009F, 2-byte %C2%8x/%C2%9x) are NOT iunreserved and stay
-encoded — the run regex starts 2-byte sequences at %C2%A0.
+percent-encodes every non-ASCII byte, so a second pass must restore
+multi-byte UTF-8 percent-sequences back to raw characters.
+
+The restore is the protect-then-decode identity, in THREE codegen'd
+expressions and zero higher-order functions:
+
+1. protect C1-control pairs (%C2%8x / %C2%9x — U+0080-009F are NOT
+   iunreserved) by escaping their percent signs: ``%25C2%258x``;
+2. protect every ASCII-origin escape ``%[0-7][0-9A-Fa-f]`` the same
+   way (ASCII bytes are 00-7F; multi-byte lead/continuation bytes are
+   80-F4, so the two classes cannot collide);
+3. ``url_decode`` the result: protected escapes decode back to their
+   literal ``%XX`` text, and the only raw ``%`` sequences left — the
+   multi-byte UTF-8 runs — decode to the original non-ASCII
+   characters. Every remaining sequence is well-formed by construction
+   (url_encode produced it), so the ANSI decoder cannot throw.
+
+A first implementation tokenized with split+transform; higher-order
+functions are CodegenFallback, which evicted the ENTIRE projection
+from whole-stage codegen — measured 1.6-1.8x on the term-map hot path
+even when no row took the branch.
 """
 
 from __future__ import annotations
@@ -29,26 +43,26 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# runs of UTF-8 percent-sequences for code points >= U+00A0
-_MB_RUN = (
-    "(?:%[Cc]2%[ABab][0-9A-Fa-f]"                      # U+00A0-00BF
-    "|%[Cc][3-9A-Fa-f]%[89ABab][0-9A-Fa-f]"            # U+00C0-03FF
-    "|%[Dd][0-9A-Fa-f]%[89ABab][0-9A-Fa-f]"            # -U+07FF
-    "|%[Ee][0-9A-Fa-f](?:%[89ABab][0-9A-Fa-f]){2}"     # 3-byte BMP
-    "|%[Ff][0-4](?:%[89ABab][0-9A-Fa-f]){3})+"         # 4-byte astral
-)
+
+def _rfc3986_encode(c: Column) -> Column:
+    e = F.url_encode(c)
+    e = F.regexp_replace(e, r"\+", "%20")
+    return F.regexp_replace(e, r"%7E", "~")
 
 
 def iri_encode(col: Column) -> Column:
-    encoded = F.url_encode(col)
-    encoded = F.regexp_replace(encoded, r"\+", "%20")
-    encoded = F.regexp_replace(encoded, r"%7E", "~")
-    marked = F.regexp_replace(encoded, _MB_RUN, "\t$0\t")
-
-    def fix(t: Column, i: Column) -> Column:
-        raw = F.decode(F.unhex(F.regexp_replace(t, "%", "")), "UTF-8")
-        return F.when(F.pmod(i, F.lit(2)) == 0, t).otherwise(raw)
-
-    restored = F.array_join(F.transform(F.split(marked, "\t"), fix), "")
-    # escape-free values (the common key/id case) skip the run scan
-    return F.when(encoded.contains("%"), restored).otherwise(encoded)
+    protected = F.regexp_replace(
+        _rfc3986_encode(col), "%([Cc]2)%([89][0-9A-Fa-f])", "%25$1%25$2"
+    )
+    protected = F.regexp_replace(protected, "%([0-7][0-9A-Fa-f])", "%25$1")
+    # Gate on the RAW input: ASCII-only values (keys, ids, names with
+    # '#' or spaces — the overwhelming majority) take the plain encode
+    # chain and nothing else. The ASCII test is octet_length==length
+    # (byte count == char count), not a regex — an rlike gate measured
+    # ~1.3x on the term-map hot path, and gating on the ENCODED value
+    # re-evaluated the url_encode chain in both predicate and branch
+    # (Spark's subexpression elimination excludes CaseWhen branches)
+    # for 2x.
+    return F.when(
+        F.octet_length(col) == F.length(col), _rfc3986_encode(col)
+    ).otherwise(F.url_decode(protected))

@@ -24,6 +24,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -32,7 +34,12 @@ from pyspark.sql import functions as F
 from ..plans import voc
 from ..plans.model import LogicalSource, MappingPlan, PredicateObjectMap, TriplesMap
 from ..sources.registry import records_df, ref_column_name
-from .terms import compile_term_map, effective_term_type, stateful_subject_spec
+from .terms import (
+    compile_term_map,
+    effective_term_type,
+    stateful_subject_spec,
+    template_parts,
+)
 
 TRIPLE_COLUMNS = ["s", "s_termtype", "p", "o", "o_termtype", "o_datatype", "o_lang", "g", "target_id"]
 
@@ -94,10 +101,52 @@ def _collect_refs(tm: TriplesMap) -> list[str]:
 # RFC 3987 excluded delimiters anywhere
 _IRI_SCHEME_RX = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 _IRI_BAD_CHAR_RX = r'[\x00-\x20<>"{}|^\x60\\]'
+_PY_SCHEME = re.compile(_IRI_SCHEME_RX)
+_PY_BAD = re.compile('[\x00-\x20<>"{}|^`\\\\]')
 
 
 def _valid_iri_term(c: Column) -> Column:
     return c.rlike(_IRI_SCHEME_RX) & ~c.rlike(_IRI_BAD_CHAR_RX)
+
+
+def _static_iri_ok(tm, position: str) -> bool:
+    """Plan-time IRI-validity analysis (the reason the runtime filter is
+    free on the common path): a CONSTANT is checked right here, once; a
+    TEMPLATE whose leading literal carries the scheme and whose literal
+    parts are clean can only produce valid IRIs, because every
+    interpolated value passes iri_encode (forbidden characters become
+    %XX; restored iunreserved characters are >= U+00A0, outside the
+    forbidden class). Only reference-/function-sourced IRI terms — and
+    templates that BEGIN with a placeholder — are data-dependent."""
+    if effective_term_type(tm, position) != "IRI":
+        return True  # literals/blank nodes: nothing to validate
+    if tm.constant is not None:
+        return bool(_PY_SCHEME.match(tm.constant)) and not _PY_BAD.search(tm.constant)
+    if tm.template is not None:
+        parts = template_parts(tm.template)
+        if not parts or parts[0][0] != "lit" or not _PY_SCHEME.match(parts[0][1]):
+            return False
+        return all(not _PY_BAD.search(v) for k, v in parts if k == "lit")
+    return False  # rml:reference / fnml function: runtime check
+
+
+def _plan_needs_iri_check(plan) -> bool:
+    """True if any term map in the plan can produce an invalid IRI at
+    runtime — the gate that keeps the per-row regex filter OFF for the
+    (overwhelmingly common) all-template/constant mappings. Measured:
+    the unconditional filter cost ~9% suite-wide (A/B/A r6 window 1)."""
+    for tm in plan.triples_maps:
+        if not _static_iri_ok(tm.subject_map.term_map, "subject"):
+            return True
+        gm = tm.subject_map.graph_map
+        if gm is not None and not _static_iri_ok(gm, "graph"):
+            return True
+        for pom in tm.predicate_object_maps:
+            if not _static_iri_ok(pom.predicate, "predicate"):
+                return True
+            if pom.object is not None and not _static_iri_ok(pom.object, "object"):
+                return True
+    return False
 
 
 def _valid_iri_quad() -> Column:
@@ -333,7 +382,7 @@ class PlanExecutor:
         triples = frames[0]
         for f in frames[1:]:
             triples = triples.unionByName(f)
-        if self.validate_iris:
+        if self.validate_iris and _plan_needs_iri_check(plan):
             triples = triples.filter(_valid_iri_quad())
         if self.dedupe:
             # RDF graphs are sets (B12): duplicate quads collapse.

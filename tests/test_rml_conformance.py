@@ -313,3 +313,35 @@ def test_conformance_case(spark, case):
     case_id, theme, mapping, sources, expected = case
     res = execute_mapping(spark, mapping, sources)
     assert _quads(res.triples) == expected, f"{case_id}: {theme}"
+
+
+def test_iri_validation_statically_gated():
+    """Perf contract for the RMLTC0002e filter (A/B/A r6 window 1
+    measured the unconditional version at ~9% suite-wide): plans whose
+    IRI terms are all templates-with-literal-scheme or valid constants
+    skip the runtime regex filter entirely; reference-/function-sourced
+    IRI terms, placeholder-leading templates, and invalid constants
+    turn it on. No Spark session needed — this is plan-time analysis."""
+    from rml_utils_processor_ts_spark.operators.executor import _plan_needs_iri_check
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+
+    def plan(subject, om):
+        return parse_mapping(f"""
+ex:m a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "x" ; rml:referenceFormulation ql:CSV ] ;
+  rr:subjectMap [ {subject} ] ;
+  rr:predicateObjectMap [ rr:predicate ex:p ; rr:objectMap [ {om} ] ] .
+""")
+
+    tpl = 'rr:template "http://ex.org/c/{k}"'
+    assert not _plan_needs_iri_check(plan(tpl, 'rml:reference "v"'))  # literal object
+    assert not _plan_needs_iri_check(plan(tpl, "rr:constant <http://ex.org/o>"))
+    assert _plan_needs_iri_check(plan(tpl, 'rml:reference "v" ; rr:termType rr:IRI'))
+    assert _plan_needs_iri_check(plan('rr:template "{scheme}://x/{k}"', 'rml:reference "v"'))
+    assert _plan_needs_iri_check(plan('rml:reference "u"', 'rml:reference "v"'))
+    # bad template literal (space in the constant part) -> runtime filter
+    assert _plan_needs_iri_check(plan('rr:template "http://ex.org/a b/{k}"', 'rml:reference "v"'))
+    # blank-node subject template: nothing to validate
+    assert not _plan_needs_iri_check(
+        plan('rr:template "b{k}" ; rr:termType rr:BlankNode', 'rml:reference "v"')
+    )
