@@ -21,25 +21,19 @@ _CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
 
 
 def _escape_ctrl(col: Column) -> Column:
-    r"""Escape residual C0 controls as \u00XX in ONE pass: mark each with
-    a TAB prefix — raw tabs cannot exist here (the caller already
-    rewrote them to \t, and inserted markers are never rescanned), so
-    splitting on TAB is collision-free — then hex-format the following
-    char via ascii()+conv(). A per-codepoint regexp_replace chain (29
-    deep) was measured to blow the whole-stage codegen method-size limit
-    and drop the entire projection to interpreted mode."""
-    marked = F.regexp_replace(col, _CTRL_CLASS, "\t$0")
-
-    def fix(t: Column, i: Column) -> Column:
-        code = F.ascii(F.substring(t, 1, 1))
-        esc = F.concat(
-            F.lit("\\u"), F.lpad(F.conv(code.cast("string"), 10, 16), 4, "0")
-        )
-        return F.when(i == F.lit(0), t).otherwise(
-            F.concat(esc, F.substring(t, 2, F.lit(2_147_483_647)))
-        )
-
-    return F.array_join(F.transform(F.split(marked, "\t"), fix), "")
+    r"""Escape residual C0 controls as \u00XX via 29 chained LITERAL
+    StringReplace expressions. Why not the alternatives, both measured:
+    a 29-deep regexp_replace chain blows the janino method-size limit
+    (per-replace regex state) and drops the projection to interpreted;
+    a split+transform tokenizer is a higher-order function, which is
+    CodegenFallback and ALSO evicts the whole projection from
+    whole-stage codegen. Literal replaces are a few bytes of generated
+    code each and keep the stage compiled; the branch containing them
+    only evaluates for literals that actually hold a control char."""
+    out = col
+    for cp in (c for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)):
+        out = F.replace(out, F.lit(chr(cp)), F.lit("\\u%04X" % cp))
+    return out
 
 
 def _escape_literal(col: Column) -> Column:
@@ -49,9 +43,13 @@ def _escape_literal(col: Column) -> Column:
     out = F.regexp_replace(out, "\n", "\\\\n")
     out = F.regexp_replace(out, "\r", "\\\\r")
     out = F.regexp_replace(out, "\t", "\\\\t")
-    # remaining C0 controls -> \u00XX (canonical N-Triples), gated on
-    # one rlike so ordinary literals never pay the tokenizing pass
-    return F.when(out.rlike(_CTRL_CLASS), _escape_ctrl(out)).otherwise(out)
+    # remaining C0 controls -> \u00XX (canonical N-Triples). The gate
+    # tests the RAW column (the class excludes \t\n\r, which are the
+    # only controls the chain above rewrites, so raw and escaped agree)
+    # — gating on `out` re-evaluates the 5-replace chain in both the
+    # predicate and the taken branch, since Spark's subexpression
+    # elimination excludes CaseWhen branches.
+    return F.when(col.rlike(_CTRL_CLASS), _escape_ctrl(out)).otherwise(out)
 
 
 def _term(col: Column, ttype: Column, dtype: Column, lang: Column) -> Column:
