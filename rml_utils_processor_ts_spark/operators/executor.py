@@ -35,6 +35,7 @@ from ..plans import voc
 from ..plans.model import LogicalSource, MappingPlan, PredicateObjectMap, TriplesMap
 from ..sources.registry import records_df, ref_column_name
 from .terms import (
+    compile_language,
     compile_term_map,
     effective_term_type,
     stateful_subject_spec,
@@ -83,6 +84,7 @@ def _collect_refs(tm: TriplesMap) -> list[str]:
     add(tm.subject_map.graph_map)
     for pom in tm.predicate_object_maps:
         add(pom.predicate)
+        add(pom.graph_map)
         if pom.object is not None:
             add(pom.object)
         for jc in pom.join_conditions:
@@ -144,6 +146,8 @@ def _plan_needs_iri_check(plan) -> bool:
         for pom in tm.predicate_object_maps:
             if not _static_iri_ok(pom.predicate, "predicate"):
                 return True
+            if pom.graph_map is not None and not _static_iri_ok(pom.graph_map, "graph"):
+                return True
             if pom.object is not None and not _static_iri_ok(pom.object, "object"):
                 return True
     return False
@@ -162,8 +166,16 @@ def _valid_iri_quad() -> Column:
 
 
 def _obj_struct(
-    pred: Column, obj: Column, ttype: Column, dtype: Column, lang: Column, target: Column
+    pred: Column,
+    obj: Column,
+    ttype: Column,
+    dtype: Column,
+    lang: Column,
+    target: Column,
+    g_override: Column | None = None,
 ) -> Column:
+    # g_override carries a POM-level graph (R2RML §9); null means "use
+    # the subject map's graph column" (coalesced at the final select)
     return F.struct(
         pred.alias("p"),
         obj.cast("string").alias("o"),
@@ -171,6 +183,9 @@ def _obj_struct(
         dtype.alias("o_datatype"),
         lang.alias("o_lang"),
         target.alias("target_id"),
+        (g_override if g_override is not None else F.lit(None).cast("string")).alias(
+            "g_override"
+        ),
     )
 
 
@@ -450,7 +465,8 @@ class PlanExecutor:
             graph = F.col(f"__g_{i}")
             target = self._target_id(tm)
 
-            def quad(pred: Column, obj: Column, ttype, dtype, lang, *, subject=subject, s_ttype=s_ttype, graph=graph, target=target) -> Column:
+            def quad(pred: Column, obj: Column, ttype, dtype, lang=None, *, subject=subject, s_ttype=s_ttype, graph=graph, target=target) -> Column:
+                lang_col = lang if lang is not None else F.lit(None).cast("string")
                 return F.struct(
                     subject.alias("s"),
                     F.lit(s_ttype).alias("s_termtype"),
@@ -458,13 +474,13 @@ class PlanExecutor:
                     obj.cast("string").alias("o"),
                     F.lit(ttype).alias("o_termtype"),
                     F.lit(dtype).cast("string").alias("o_datatype"),
-                    F.lit(lang).cast("string").alias("o_lang"),
+                    lang_col.alias("o_lang"),
                     graph.alias("g"),
                     F.lit(target).alias("target_id"),
                 )
 
             for cls in tm.subject_map.classes:
-                quad_structs.append(quad(F.lit(voc.RDF_TYPE), F.lit(cls), "IRI", None, None))
+                quad_structs.append(quad(F.lit(voc.RDF_TYPE), F.lit(cls), "IRI", None))
             for pom in tm.predicate_object_maps:
                 if pom.parent_triples_map is not None:
                     base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
@@ -476,17 +492,23 @@ class PlanExecutor:
                     continue
                 pred = compile_term_map(pom.predicate, resolve, "predicate")
                 obj = compile_term_map(pom.object, resolve, "object")
+                lang_col = compile_language(pom.object, resolve)
                 for tid in self._pom_target_ids(tm, pom):
-                    quad_structs.append(
-                        quad(
-                            pred,
-                            obj,
-                            effective_term_type(pom.object, "object"),
-                            pom.object.datatype,
-                            pom.object.language,
-                            target=tid,
+                    # R2RML §9 union semantics: a POM-level graph map
+                    # sends this POM's quads to its graph AND the subject
+                    # map's graph(s); with neither, the default graph
+                    for g_col in self._pom_graphs(tm, pom, resolve, graph):
+                        quad_structs.append(
+                            quad(
+                                pred,
+                                obj,
+                                effective_term_type(pom.object, "object"),
+                                pom.object.datatype,
+                                lang_col,
+                                target=tid,
+                                graph=g_col,
+                            )
                         )
-                    )
 
         if quad_structs:
             exploded = (
@@ -503,6 +525,18 @@ class PlanExecutor:
         if gm is None:
             return F.lit(None).cast("string")
         return compile_term_map(gm, resolve, "graph")
+
+    def _pom_graphs(self, tm: TriplesMap, pom, resolve, subject_graph: Column) -> list[Column]:
+        """The graph columns a POM's quads land in (R2RML §9): the union
+        of subject-map and POM graph maps; no POM graph map -> just the
+        subject graph column (which is a null literal for the default
+        graph)."""
+        if pom.graph_map is None:
+            return [subject_graph]
+        pg = compile_term_map(pom.graph_map, resolve, "graph")
+        if tm.subject_map.graph_map is not None:
+            return [subject_graph, pg]
+        return [pg]
 
     def _target_id(self, tm: TriplesMap) -> str:
         lt = tm.subject_map.logical_target
@@ -557,23 +591,29 @@ class PlanExecutor:
             obj = compile_term_map(pom.object, resolve, "object")
             ttype = effective_term_type(pom.object, "object")
             dtype = pom.object.datatype
-            lang = pom.object.language
+            lang_col = compile_language(pom.object, resolve)
             if lifecycle_only and pom.object.constant is None:
                 # delete events have no source record: only constant POMs
                 # survive (reference keeps only rdf:type/lifecycle POMs on
                 # delete TMs, /root/reference/src/rml/incrml.ts:554-576)
                 continue
+            pom_graphs: list[Column | None] = [None]  # None = subject graph
+            if pom.graph_map is not None:
+                pg = compile_term_map(pom.graph_map, resolve, "graph")
+                pom_graphs = [None, pg] if tm.subject_map.graph_map is not None else [pg]
             for tid in self._pom_target_ids(tm, pom):
-                structs.append(
-                    _obj_struct(
-                        pred,
-                        obj,
-                        F.lit(ttype),
-                        F.lit(dtype).cast("string"),
-                        F.lit(lang).cast("string"),
-                        F.lit(tid),
+                for g_ov in pom_graphs:
+                    structs.append(
+                        _obj_struct(
+                            pred,
+                            obj,
+                            F.lit(ttype),
+                            F.lit(dtype).cast("string"),
+                            lang_col,
+                            F.lit(tid),
+                            g_override=g_ov,
+                        )
                     )
-                )
 
         base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
 
@@ -668,7 +708,7 @@ class PlanExecutor:
                     F.col("__pom.o_termtype").alias("o_termtype"),
                     F.col("__pom.o_datatype").alias("o_datatype"),
                     F.col("__pom.o_lang").alias("o_lang"),
-                    graph.alias("g"),
+                    F.coalesce(F.col("__pom.g_override"), graph).alias("g"),
                     F.col("__pom.target_id").alias("target_id"),
                 )
                 .filter(F.col("o").isNotNull())
@@ -715,12 +755,25 @@ class PlanExecutor:
         # before projecting it down to (s, join keys) — evaluating them
         # after the join would reference columns no longer in scope.
         pred = compile_term_map(pom.predicate, resolve, "predicate")
+        graph_cols = [graph]
+        if pom.graph_map is not None:
+            # R2RML §9 union: POM graph + subject graph(s)
+            pg = compile_term_map(pom.graph_map, resolve, "graph")
+            graph_cols = [graph, pg] if tm.subject_map.graph_map is not None else [pg]
         child_side = child_base.select(
             F.col("__s").alias("s"),
             pred.alias("__p"),
-            graph.alias("__g"),
+            *[g.alias(f"__g{i}") for i, g in enumerate(graph_cols)],
             *[e.alias(f"__ck{i}") for i, e in enumerate(join_exprs_child)],
         )
+        if len(graph_cols) == 1:
+            child_side = child_side.withColumnRenamed("__g0", "__g")
+        else:
+            # separate projection: the final select may already hold a
+            # target-id explode, and one select allows only one generator
+            child_side = child_side.withColumn(
+                "__g", F.explode(F.array(*[F.col(f"__g{i}") for i in range(len(graph_cols))]))
+            )
         parent_side = parent_records.select(
             parent_subject.alias("__po"),
             *[e.alias(f"__pk{i}") for i, e in enumerate(join_exprs_parent)],

@@ -89,6 +89,14 @@ def compile_term_map(tm: TermMap, resolve: RefResolver, position: str) -> Column
     raise ValueError("empty TermMap")
 
 
+def compile_language(tm: TermMap, resolve: RefResolver) -> Column:
+    """The o_lang column for an object term map: the static rr:language
+    string, or a data-derived rml:languageMap (newer RML spec)."""
+    if tm.language_map is not None:
+        return compile_term_map(tm.language_map, resolve, "value")
+    return F.lit(tm.language).cast("string")
+
+
 def effective_term_type(tm: TermMap, position: str) -> str:
     """RML default term types: subject/predicate/graph are IRIs; an object
     is a Literal for references, an IRI for templates/IRI-constants unless

@@ -29,6 +29,9 @@ class TermMap:
     term_type: str | None = None  # 'IRI' | 'Literal' | 'BlankNode' | None
     datatype: str | None = None
     language: str | None = None
+    # rml:languageMap — a data-derived language tag (newer RML spec);
+    # mutually exclusive with the static rr:language string
+    language_map: "TermMap | None" = None
 
     @property
     def kind(self) -> str:
@@ -57,14 +60,18 @@ class TermMap:
 
     def references(self) -> list[str]:
         """All source references this term map reads (template vars via the
-        reference's regex /[^{}]+(?=})/g, src/rml/incrml.ts:443,600)."""
+        reference's regex /[^{}]+(?=})/g, src/rml/incrml.ts:443,600) —
+        including a data-derived rml:languageMap's."""
+        out: list[str] = []
         if self.reference is not None:
-            return decompose_reference(self.reference)
-        if self.template is not None:
-            return re.findall(r"[^{}]+(?=})", self.template)
-        if self.function is not None:
-            return self.function.references()
-        return []
+            out = decompose_reference(self.reference)
+        elif self.template is not None:
+            out = re.findall(r"[^{}]+(?=})", self.template)
+        elif self.function is not None:
+            out = self.function.references()
+        if self.language_map is not None:
+            out = out + self.language_map.references()
+        return out
 
 
 @dataclass
@@ -113,6 +120,9 @@ class PredicateObjectMap:
     # /root/reference/test/rml.test.ts:43-50): this POM's quads route to
     # the union of the subject-map target and this one.
     logical_target: "LogicalTarget | None" = None
+    # rr:graphMap / rr:graph on the POM (R2RML §9): this POM's triples
+    # go to the UNION of the subject map's graphs and this one
+    graph_map: "TermMap | None" = None
 
 
 @dataclass
@@ -212,11 +222,17 @@ class MappingPlan:
             parts.append(tm.name)
             parts.append(tm.subject_map.term_map.expression_string())
             parts.append(tm.logical_source.key())
+            gm = tm.subject_map.graph_map
+            parts.append(gm.expression_string() if gm is not None else "")
             for pom in tm.predicate_object_maps:
                 parts.append(pom.predicate.expression_string())
                 if pom.object is not None:
                     parts.append(pom.object.expression_string())
+                    lm = pom.object.language_map
+                    parts.append(lm.expression_string() if lm is not None else pom.object.language or "")
                 parts.append(pom.parent_triples_map or "")
+                pgm = pom.graph_map
+                parts.append(pgm.expression_string() if pgm is not None else "")
         return hashlib.sha256("\x1e".join(parts).encode()).hexdigest()
 
 

@@ -63,7 +63,26 @@ def _parse_term_map(g: Graph, node: Term) -> TermMap:
     lang = g.object(node, voc.RR_LANGUAGE)
     if lang is not None:
         tm.language = lang.value
+    lang_map = g.object(node, voc.RML_LANGUAGE_MAP)
+    if lang_map is not None:
+        tm.language_map = _parse_term_map(g, lang_map)
     return tm
+
+
+def _parse_graph_map(g: Graph, node: Term) -> TermMap | None:
+    """rr:graphMap on ``node``, or the rr:graph constant shortcut.
+    ``rr:graph rr:defaultGraph`` means the default graph — same as no
+    graph map at all (R2RML §9)."""
+    gm_node = g.object(node, voc.RR_GRAPH_MAP)
+    if gm_node is not None:
+        gm = _parse_term_map(g, gm_node)
+        if gm.constant == voc.RR_DEFAULT_GRAPH:
+            return None
+        return gm
+    c = g.object(node, voc.RR_GRAPH)
+    if c is None or c.value == voc.RR_DEFAULT_GRAPH:
+        return None
+    return TermMap(constant=c.value, constant_is_iri=(c.kind == "iri"))
 
 
 def _parse_function(g: Graph, fn_node: Term) -> FunctionCall:
@@ -306,6 +325,7 @@ def _parse_pom(g: Graph, node: Term) -> PredicateObjectMap:
             predicate=pred,
             object=TermMap(constant=o.value, constant_is_iri=(o.kind == "iri")),
             logical_target=_parse_logical_target(g, lt_node) if lt_node is not None else None,
+            graph_map=_parse_graph_map(g, node),
         )
     # rml:logicalTarget on the POM or its object map (broader RML-target
     # surface than the subject-map-only reference fixtures): routes this
@@ -334,9 +354,13 @@ def _parse_pom(g: Graph, node: Term) -> PredicateObjectMap:
             parent_triples_map=parent.value,
             join_conditions=joins,
             logical_target=logical_target,
+            graph_map=_parse_graph_map(g, node),
         )
     return PredicateObjectMap(
-        predicate=pred, object=_parse_term_map(g, obj_node), logical_target=logical_target
+        predicate=pred,
+        object=_parse_term_map(g, obj_node),
+        logical_target=logical_target,
+        graph_map=_parse_graph_map(g, node),
     )
 
 
@@ -364,11 +388,26 @@ def plan_from_graph(g: Graph, source_bindings: dict[str, str] | None = None) -> 
         ls = _parse_logical_source(g, ls_node, bindings)
         sm_node = g.object(tm_node, voc.RR_SUBJECT_MAP)
         if sm_node is None:
-            raise MappingParseError(f"TriplesMap {tm_node} without subjectMap")
+            # rr:subject constant shortcut (R2RML §6.3)
+            s_const = g.object(tm_node, voc.RR_SUBJECT)
+            if s_const is None:
+                raise MappingParseError(f"TriplesMap {tm_node} without subjectMap")
+            tms.append(
+                TriplesMap(
+                    name=_term_name(tm_node),
+                    logical_source=ls,
+                    subject_map=SubjectMap(
+                        term_map=TermMap(constant=s_const.value, constant_is_iri=True)
+                    ),
+                    predicate_object_maps=[
+                        _parse_pom(g, p) for p in g.objects(tm_node, voc.RR_PREDICATE_OBJECT_MAP)
+                    ],
+                )
+            )
+            continue
         stm = _parse_term_map(g, sm_node)
         classes = [c.value for c in g.objects(sm_node, voc.RR_CLASS)]
-        gm_node = g.object(sm_node, voc.RR_GRAPH_MAP)
-        graph_map = _parse_term_map(g, gm_node) if gm_node is not None else None
+        graph_map = _parse_graph_map(g, sm_node)
         lt_node = g.object(sm_node, voc.RML_LOGICAL_TARGET)
         logical_target = _parse_logical_target(g, lt_node) if lt_node is not None else None
         poms = [_parse_pom(g, p) for p in g.objects(tm_node, voc.RR_PREDICATE_OBJECT_MAP)]

@@ -95,6 +95,10 @@ def _term_map_block(tm: TermMap, object_position: bool = False) -> str:
         parts.append(f"rr:datatype {_iri(tm.datatype)}")
     if tm.language is not None:
         parts.append(f"rr:language {_lit(tm.language)}")
+    if tm.language_map is not None:
+        parts.append(
+            "rml:languageMap [ " + _term_map_block(tm.language_map).replace("\n", " ") + " ]"
+        )
     return " ;\n".join(parts)
 
 
@@ -204,6 +208,11 @@ def _pom_block(pom: PredicateObjectMap) -> str:
     if pom.logical_target is not None:
         lines[-1] += " ;"
         lines.append(f"  rml:logicalTarget {_iri(pom.logical_target.target_id)}")
+    if pom.graph_map is not None:
+        lines[-1] += " ;"
+        lines.append(
+            "  rr:graphMap [ " + _term_map_block(pom.graph_map).replace("\n", " ") + " ]"
+        )
     lines.append("]")
     return "\n".join(lines)
 

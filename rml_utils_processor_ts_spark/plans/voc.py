@@ -57,6 +57,9 @@ RR_PREDICATE_OBJECT_MAP = RR + "predicateObjectMap"
 RR_PREDICATE_MAP = RR + "predicateMap"
 RR_PREDICATE = RR + "predicate"
 RR_OBJECT = RR + "object"  # constant shortcut, R2RML §6.3
+RR_SUBJECT = RR + "subject"  # constant shortcut
+RR_GRAPH = RR + "graph"  # constant shortcut
+RR_DEFAULT_GRAPH = RR + "defaultGraph"
 RR_OBJECT_MAP = RR + "objectMap"
 RR_CONSTANT = RR + "constant"
 RR_TEMPLATE = RR + "template"
@@ -91,6 +94,7 @@ RML_QUERY = RML + "query"
 RR_SQL_QUERY = RR + "sqlQuery"
 RR_TABLE_NAME = RR + "tableName"
 RML_REFERENCE = RML + "reference"
+RML_LANGUAGE_MAP = RML + "languageMap"
 RML_LOGICAL_TARGET = RML + "logicalTarget"
 RML_JOIN_CONDITION = RML + "joinCondition"
 

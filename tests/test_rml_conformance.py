@@ -287,6 +287,61 @@ ex:sport a rr:TriplesMap ;
         },
     ),
     (
+        "RMLTC0006a-theme",
+        "rr:subject and rr:graph constant shortcuts; rr:defaultGraph means none",
+        'ex:m a rr:TriplesMap ;\n'
+        f"  {_LS_JSON} ;\n"
+        "  rr:subject ex:thing ;\n"
+        "  rr:predicateObjectMap [ rr:predicate ex:v ; rr:objectMap [ rml:reference \"V\" ] ] .\n"
+        'ex:m2 a rr:TriplesMap ;\n'
+        f"  {_LS_JSON} ;\n"
+        '  rr:subjectMap [ rr:template "http://example.com/{Id}" ; rr:graph ex:g1 ] ;\n'
+        "  rr:predicateObjectMap [ rr:predicate ex:w ; rr:objectMap [ rml:reference \"V\" ] ] .\n"
+        'ex:m3 a rr:TriplesMap ;\n'
+        f"  {_LS_JSON} ;\n"
+        '  rr:subjectMap [ rr:template "http://example.com/d/{Id}" ; rr:graphMap [ rr:constant rr:defaultGraph ] ] ;\n'
+        "  rr:predicateObjectMap [ rr:predicate ex:w ; rr:objectMap [ rml:reference \"V\" ] ] .",
+        {"d.json": "inline:" + '[{"Id": "1", "V": "x"}]'},
+        {
+            ("http://example.org/thing", "IRI", "http://example.org/v", "x", "Literal", None, None, None),
+            (EX + "1", "IRI", "http://example.org/w", "x", "Literal", None, None, "http://example.org/g1"),
+            (EX + "d/1", "IRI", "http://example.org/w", "x", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0007f-theme",
+        "POM-level graph map: union of subject and POM graphs (R2RML 9)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ;\n'
+            "    rr:graph ex:sg ] ;\n"
+            "  rr:predicateObjectMap [ rr:predicate ex:a ; rr:objectMap [ rml:reference \"V\" ] ;\n"
+            '    rr:graphMap [ rr:template "http://example.org/pg/{Id}" ] ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:b ; rr:objectMap [ rml:reference \"V\" ] ]"
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "x"}]'},
+        {
+            # ex:a lands in BOTH the POM graph and the subject graph
+            (EX + "1", "IRI", "http://example.org/a", "x", "Literal", None, None, "http://example.org/pg/1"),
+            (EX + "1", "IRI", "http://example.org/a", "x", "Literal", None, None, "http://example.org/sg"),
+            # ex:b only in the subject graph
+            (EX + "1", "IRI", "http://example.org/b", "x", "Literal", None, None, "http://example.org/sg"),
+        },
+    ),
+    (
+        "RMLTC-languageMap-theme",
+        "rml:languageMap derives the tag from the data",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:t ; "
+            'rr:objectMap [ rml:reference "V" ; rml:languageMap [ rml:reference "L" ] ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "hello", "L": "en"}, {"Id": "2", "V": "hallo", "L": "de"}]'},
+        {
+            (EX + "1", "IRI", "http://example.org/t", "hello", "Literal", None, "en", None),
+            (EX + "2", "IRI", "http://example.org/t", "hallo", "Literal", None, "de", None),
+        },
+    ),
+    (
         "RMLTC-xsd-string-theme",
         "explicit xsd:string datatype is recorded on the term",
         _m(

@@ -165,3 +165,27 @@ ex:m a rr:TriplesMap ;
         if r["p"].endswith("lifeCycleType") and r["o"].endswith("Create")
     }
     assert creates == {"http://example.org/001", "http://example.org/002"}
+
+
+def test_round_trip_pom_graph_map_and_language_map():
+    """Round-6 surface: POM-level rr:graphMap and rml:languageMap
+    serialize and re-parse hash-equal (the serializer contract)."""
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+    from rml_utils_processor_ts_spark.plans.serializer import plan_to_rml
+
+    doc = """
+ex:m a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+      rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://ex.org/{id}" ; rr:graph ex:sg ] ;
+  rr:predicateObjectMap [
+      rr:predicate ex:t ;
+      rr:objectMap [ rml:reference "v" ; rml:languageMap [ rml:reference "l" ] ] ;
+      rr:graphMap [ rr:template "http://ex.org/pg/{id}" ] ] .
+"""
+    plan = parse_mapping(doc)
+    pom = plan.triples_maps[0].predicate_object_maps[0]
+    assert pom.graph_map is not None and pom.graph_map.template is not None
+    assert pom.object.language_map is not None
+    rt = parse_mapping(plan_to_rml(plan))
+    assert rt.plan_hash() == plan.plan_hash()
