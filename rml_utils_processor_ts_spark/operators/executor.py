@@ -35,6 +35,7 @@ from ..plans import voc
 from ..plans.model import LogicalSource, MappingPlan, PredicateObjectMap, TriplesMap
 from ..sources.registry import records_df, ref_column_name
 from .terms import (
+    compile_datatype,
     compile_language,
     compile_term_map,
     effective_term_type,
@@ -465,22 +466,23 @@ class PlanExecutor:
             graph = F.col(f"__g_{i}")
             target = self._target_id(tm)
 
-            def quad(pred: Column, obj: Column, ttype, dtype, lang=None, *, subject=subject, s_ttype=s_ttype, graph=graph, target=target) -> Column:
+            def quad(pred: Column, obj: Column, ttype, dtype=None, lang=None, *, subject=subject, s_ttype=s_ttype, graph=graph, target=target) -> Column:
                 lang_col = lang if lang is not None else F.lit(None).cast("string")
+                dtype_col = dtype if dtype is not None else F.lit(None).cast("string")
                 return F.struct(
                     subject.alias("s"),
                     F.lit(s_ttype).alias("s_termtype"),
                     pred.alias("p"),
                     obj.cast("string").alias("o"),
                     F.lit(ttype).alias("o_termtype"),
-                    F.lit(dtype).cast("string").alias("o_datatype"),
+                    dtype_col.alias("o_datatype"),
                     lang_col.alias("o_lang"),
                     graph.alias("g"),
                     F.lit(target).alias("target_id"),
                 )
 
             for cls in tm.subject_map.classes:
-                quad_structs.append(quad(F.lit(voc.RDF_TYPE), F.lit(cls), "IRI", None))
+                quad_structs.append(quad(F.lit(voc.RDF_TYPE), F.lit(cls), "IRI"))
             for pom in tm.predicate_object_maps:
                 if pom.parent_triples_map is not None:
                     base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
@@ -493,6 +495,7 @@ class PlanExecutor:
                 pred = compile_term_map(pom.predicate, resolve, "predicate")
                 obj = compile_term_map(pom.object, resolve, "object")
                 lang_col = compile_language(pom.object, resolve)
+                dtype_col = compile_datatype(pom.object, resolve)
                 for tid in self._pom_target_ids(tm, pom):
                     # R2RML §9 union semantics: a POM-level graph map
                     # sends this POM's quads to its graph AND the subject
@@ -503,7 +506,7 @@ class PlanExecutor:
                                 pred,
                                 obj,
                                 effective_term_type(pom.object, "object"),
-                                pom.object.datatype,
+                                dtype_col,
                                 lang_col,
                                 target=tid,
                                 graph=g_col,
@@ -590,7 +593,7 @@ class PlanExecutor:
             pred = compile_term_map(pom.predicate, resolve, "predicate")
             obj = compile_term_map(pom.object, resolve, "object")
             ttype = effective_term_type(pom.object, "object")
-            dtype = pom.object.datatype
+            dtype_col = compile_datatype(pom.object, resolve)
             lang_col = compile_language(pom.object, resolve)
             if lifecycle_only and pom.object.constant is None:
                 # delete events have no source record: only constant POMs
@@ -608,7 +611,7 @@ class PlanExecutor:
                             pred,
                             obj,
                             F.lit(ttype),
-                            F.lit(dtype).cast("string"),
+                            dtype_col,
                             lang_col,
                             F.lit(tid),
                             g_override=g_ov,

@@ -97,6 +97,14 @@ def compile_language(tm: TermMap, resolve: RefResolver) -> Column:
     return F.lit(tm.language).cast("string")
 
 
+def compile_datatype(tm: TermMap, resolve: RefResolver) -> Column:
+    """The o_datatype column: static rr:datatype IRI, or a data-derived
+    rml:datatypeMap (newer RML spec)."""
+    if tm.datatype_map is not None:
+        return compile_term_map(tm.datatype_map, resolve, "value")
+    return F.lit(tm.datatype).cast("string")
+
+
 def effective_term_type(tm: TermMap, position: str) -> str:
     """RML default term types: subject/predicate/graph are IRIs; an object
     is a Literal for references, an IRI for templates/IRI-constants unless

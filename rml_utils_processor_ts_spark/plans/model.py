@@ -32,6 +32,9 @@ class TermMap:
     # rml:languageMap — a data-derived language tag (newer RML spec);
     # mutually exclusive with the static rr:language string
     language_map: "TermMap | None" = None
+    # rml:datatypeMap — a data-derived datatype IRI (newer RML spec);
+    # mutually exclusive with the static rr:datatype
+    datatype_map: "TermMap | None" = None
 
     @property
     def kind(self) -> str:
@@ -71,6 +74,8 @@ class TermMap:
             out = self.function.references()
         if self.language_map is not None:
             out = out + self.language_map.references()
+        if self.datatype_map is not None:
+            out = out + self.datatype_map.references()
         return out
 
 
@@ -230,6 +235,8 @@ class MappingPlan:
                     parts.append(pom.object.expression_string())
                     lm = pom.object.language_map
                     parts.append(lm.expression_string() if lm is not None else pom.object.language or "")
+                    dm = pom.object.datatype_map
+                    parts.append(dm.expression_string() if dm is not None else pom.object.datatype or "")
                 parts.append(pom.parent_triples_map or "")
                 pgm = pom.graph_map
                 parts.append(pgm.expression_string() if pgm is not None else "")

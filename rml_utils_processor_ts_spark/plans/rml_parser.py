@@ -66,6 +66,9 @@ def _parse_term_map(g: Graph, node: Term) -> TermMap:
     lang_map = g.object(node, voc.RML_LANGUAGE_MAP)
     if lang_map is not None:
         tm.language_map = _parse_term_map(g, lang_map)
+    dt_map = g.object(node, voc.RML_DATATYPE_MAP)
+    if dt_map is not None:
+        tm.datatype_map = _parse_term_map(g, dt_map)
     return tm
 
 

@@ -99,6 +99,10 @@ def _term_map_block(tm: TermMap, object_position: bool = False) -> str:
         parts.append(
             "rml:languageMap [ " + _term_map_block(tm.language_map).replace("\n", " ") + " ]"
         )
+    if tm.datatype_map is not None:
+        parts.append(
+            "rml:datatypeMap [ " + _term_map_block(tm.datatype_map).replace("\n", " ") + " ]"
+        )
     return " ;\n".join(parts)
 
 

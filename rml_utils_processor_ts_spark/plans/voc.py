@@ -95,6 +95,7 @@ RR_SQL_QUERY = RR + "sqlQuery"
 RR_TABLE_NAME = RR + "tableName"
 RML_REFERENCE = RML + "reference"
 RML_LANGUAGE_MAP = RML + "languageMap"
+RML_DATATYPE_MAP = RML + "datatypeMap"
 RML_LOGICAL_TARGET = RML + "logicalTarget"
 RML_JOIN_CONDITION = RML + "joinCondition"
 

@@ -342,6 +342,20 @@ ex:sport a rr:TriplesMap ;
         },
     ),
     (
+        "RMLTC-datatypeMap-theme",
+        "rml:datatypeMap derives the datatype IRI from the data",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; "
+            'rr:objectMap [ rml:reference "V" ; rml:datatypeMap [ rr:template "http://www.w3.org/2001/XMLSchema#{T}" ] ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "5", "T": "integer"}, {"Id": "2", "V": "4.6", "T": "double"}]'},
+        {
+            (EX + "1", "IRI", "http://example.org/v", "5", "Literal", XSD + "integer", None, None),
+            (EX + "2", "IRI", "http://example.org/v", "4.6", "Literal", XSD + "double", None, None),
+        },
+    ),
+    (
         "RMLTC-xsd-string-theme",
         "explicit xsd:string datatype is recorded on the term",
         _m(
