@@ -10,6 +10,8 @@ subject rules (``incrml.ts:356-368,391-412``).
 
 from __future__ import annotations
 
+import re
+
 from . import voc
 from .model import (
     FunctionCall,
@@ -33,7 +35,7 @@ def _term_name(t: Term) -> str:
     return t.value if t.kind == "iri" else f"_:{t.value}"
 
 
-def _parse_term_map(g: Graph, node: Term) -> TermMap:
+def _parse_term_map(g: Graph, node: Term, resolve_base: bool = True) -> TermMap:
     """Parse a term-map node honoring the reference precedence
     (src/rml/incrml.ts:172-189)."""
     tm = TermMap()
@@ -65,10 +67,25 @@ def _parse_term_map(g: Graph, node: Term) -> TermMap:
         tm.language = lang.value
     lang_map = g.object(node, voc.RML_LANGUAGE_MAP)
     if lang_map is not None:
-        tm.language_map = _parse_term_map(g, lang_map)
+        # language tags are not IRIs: never base-resolve their templates
+        tm.language_map = _parse_term_map(g, lang_map, resolve_base=False)
     dt_map = g.object(node, voc.RML_DATATYPE_MAP)
     if dt_map is not None:
         tm.datatype_map = _parse_term_map(g, dt_map)
+    # @base resolution for relative templates in IRI position (RMLMapper
+    # resolves template output against the document base; resolving the
+    # template text is equivalent since expansion values are IRI-encoded
+    # and cannot introduce a scheme or dot-segments)
+    if (
+        resolve_base
+        and tm.template is not None
+        and getattr(g, "base", None)
+        and tm.term_type in (None, "IRI")
+        and not re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", tm.template)
+    ):
+        from urllib.parse import urljoin
+
+        tm.template = urljoin(g.base, tm.template)
     return tm
 
 

@@ -38,6 +38,7 @@ _TOKEN_RE = re.compile(
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<string_sq>'(?:[^'\\]|\\.)*')
     | (?P<prefix_decl>@prefix\b)
+    | (?P<base_decl>@base\b)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtype>\^\^)
     | (?P<bnode_label>_:[A-Za-z0-9_]+)
@@ -123,6 +124,7 @@ class _Tokens:
 class TurtleParser:
     def __init__(self):
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
         self.triples: list[Triple] = []
         self._bnode_ids = itertools.count()
 
@@ -138,7 +140,15 @@ class TurtleParser:
                 ikind, ival = toks.next()
                 if ikind != "iriref":
                     raise ValueError("turtle: @prefix requires IRIREF")
-                self.prefixes[pval[:-1]] = ival[1:-1]
+                self.prefixes[pval[:-1]] = self._resolve_iri(ival[1:-1])
+                self._expect(toks, ".")
+            elif kind == "base_decl":
+                toks.next()
+                ikind, ival = toks.next()
+                if ikind != "iriref":
+                    raise ValueError("turtle: @base requires IRIREF")
+                # nested @base resolves against the current base (RFC 3986)
+                self.base = self._resolve_iri(ival[1:-1])
                 self._expect(toks, ".")
             else:
                 subj = self._parse_term(toks, as_subject=True)
@@ -154,6 +164,17 @@ class TurtleParser:
     def _new_bnode(self) -> Term:
         return Term("bnode", f"b{next(self._bnode_ids)}")
 
+    def _resolve_iri(self, iri: str) -> str:
+        """Resolve a (possibly relative) IRIREF against @base per RFC
+        3986. Absolute IRIs (with a scheme) pass through untouched; a
+        relative IRIREF without a declared @base stays relative (the
+        executor's validity filter then treats it as a data error)."""
+        if self.base is None or re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return iri
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, iri)
+
     def _resolve_pname(self, pname: str) -> str:
         prefix, _, local = pname.partition(":")
         if prefix not in self.prefixes:
@@ -163,7 +184,7 @@ class TurtleParser:
     def _parse_term(self, toks: _Tokens, as_subject: bool = False) -> Term:
         kind, val = toks.next()
         if kind == "iriref":
-            return Term("iri", val[1:-1])
+            return Term("iri", self._resolve_iri(val[1:-1]))
         if kind == "pname":
             return Term("iri", self._resolve_pname(val))
         if kind == "bnode_label":
@@ -252,17 +273,26 @@ def parse_turtle(text: str) -> list[Triple]:
     return TurtleParser().parse(text)
 
 
+def parse_turtle_with_base(text: str) -> tuple[list[Triple], str | None]:
+    p = TurtleParser()
+    triples = p.parse(text)
+    return triples, p.base
+
+
 class Graph:
     """Tiny in-memory triple store with the N3.js-style pattern-match API
     the reference uses (``getQuads/getSubjects/getObjects``,
     ``/root/reference/src/rml/rml.ts:190-201``)."""
 
-    def __init__(self, triples: list[Triple] | None = None):
+    def __init__(self, triples: list[Triple] | None = None, base: str | None = None):
         self.triples: list[Triple] = list(triples or [])
+        # the document's @base, for relative rr:template resolution
+        self.base = base
 
     @classmethod
     def from_turtle(cls, text: str) -> "Graph":
-        return cls(parse_turtle(text))
+        triples, base = parse_turtle_with_base(text)
+        return cls(triples, base)
 
     def match(self, s: Term | None = None, p: str | None = None, o: Term | None = None):
         for t in self.triples:

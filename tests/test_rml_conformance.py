@@ -414,3 +414,31 @@ ex:m a rr:TriplesMap ;
     assert not _plan_needs_iri_check(
         plan('rr:template "b{k}" ; rr:termType rr:BlankNode', 'rml:reference "v"')
     )
+
+
+def test_base_iri_resolution(spark):
+    """@base resolves relative IRIREFs and relative IRI-position
+    templates (RMLTC0002c/0003 themes); literal-position and
+    languageMap templates stay untouched."""
+    mapping = """
+@base <http://example.com/base/> .
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.org/> .
+<#m> a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+      rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "student/{Id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:ref ; rr:objectMap [ rr:constant <other/thing> ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:label ;
+      rr:objectMap [ rr:template "row {Id}" ; rr:termType rr:Literal ] ] .
+"""
+    res = execute_mapping(spark, mapping, {"d.json": "inline:" + '[{"Id": "10"}]'})
+    got = {(r["s"], r["p"], r["o"], r["o_termtype"]) for r in res.triples.collect()}
+    assert got == {
+        ("http://example.com/base/student/10", "http://example.org/ref",
+         "http://example.com/base/other/thing", "IRI"),
+        ("http://example.com/base/student/10", "http://example.org/label",
+         "row 10", "Literal"),
+    }
