@@ -356,6 +356,19 @@ ex:sport a rr:TriplesMap ;
         },
     ),
     (
+        "RMLTC0008-csv-theme",
+        "CSV source: space-named columns in templates and references",
+        'ex:m a rr:TriplesMap ;\n'
+        '  rml:logicalSource [ rml:source "s.csv" ; rml:referenceFormulation ql:CSV ] ;\n'
+        '  rr:subjectMap [ rr:template "http://example.com/{First Name}" ] ;\n'
+        "  rr:predicateObjectMap [ rr:predicate ex:age ; rr:objectMap [ rml:reference \"Age\" ] ] .",
+        {"s.csv": 'inline:"First Name",Age\nVenus,22\nSerena,20\n'},
+        {
+            (EX + "Venus", "IRI", "http://example.org/age", "22", "Literal", None, None, None),
+            (EX + "Serena", "IRI", "http://example.org/age", "20", "Literal", None, None, None),
+        },
+    ),
+    (
         "RMLTC-xsd-string-theme",
         "explicit xsd:string datatype is recorded on the term",
         _m(
