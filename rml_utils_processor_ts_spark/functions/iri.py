@@ -47,14 +47,20 @@ from pyspark.sql import functions as F
 def _rfc3986_encode(c: Column) -> Column:
     e = F.url_encode(c)
     e = F.regexp_replace(e, r"\+", "%20")
+    # URLEncoder's x-www-form-urlencoded set differs from unreserved in
+    # exactly two survivors: '~' is encoded but IS unreserved (restore),
+    # '*' passes raw but is NOT iunreserved (encode — fuzz-caught)
+    e = F.regexp_replace(e, r"\*", "%2A")
     return F.regexp_replace(e, r"%7E", "~")
 
 
 def iri_encode(col: Column) -> Column:
-    protected = F.regexp_replace(
-        _rfc3986_encode(col), "%([Cc]2)%([89][0-9A-Fa-f])", "%25$1%25$2"
-    )
-    protected = F.regexp_replace(protected, "%([0-7][0-9A-Fa-f])", "%25$1")
+    # ORDER MATTERS: ASCII protection runs FIRST — its inserted "%25"
+    # text can never form a %C2 pair, while running the C1 pass first
+    # let the ASCII pass re-protect the %25s it had just inserted
+    # (caught by the hypothesis spec fuzz on input U+0080)
+    protected = F.regexp_replace(_rfc3986_encode(col), "%([0-7][0-9A-Fa-f])", "%25$1")
+    protected = F.regexp_replace(protected, "%([Cc]2)%([89][0-9A-Fa-f])", "%25$1%25$2")
     # Gate on the RAW input: ASCII-only values (keys, ids, names with
     # '#' or spaces — the overwhelming majority) take the plain encode
     # chain and nothing else. The ASCII test is octet_length==length

@@ -276,3 +276,45 @@ def test_nquad_line_escape_round_trip(spark_session_for_property, vals):
     back = parse_nquad_lines(triples_to_nquad_lines(df))
     got = {(r["s"], r["o"]) for r in back.collect()}
     assert got == {(r[0], r[3]) for r in rows}
+
+
+# -- IRI-safe template encoding vs a direct Python spec ----------------------
+
+_iri_values = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=0, max_size=40,
+)
+
+
+def _iri_safe_spec(s: str) -> str:
+    """R2RML IRI-safe, written directly: unreserved ASCII passes, code
+    points >= U+00A0 (iunreserved ucschar territory minus C1 controls)
+    pass raw, everything else percent-encodes its UTF-8 bytes."""
+    out = []
+    for ch in s:
+        if ch.isascii() and (ch.isalnum() or ch in "-._~"):
+            out.append(ch)
+        elif ord(ch) >= 0xA0:
+            out.append(ch)
+        else:
+            out.extend("%%%02X" % b for b in ch.encode("utf-8"))
+    return "".join(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(_iri_values, min_size=1, max_size=8, unique=True))
+def test_iri_encode_matches_python_spec(spark_session_for_property, vals):
+    from pyspark.sql import functions as F
+
+    """The codegen-safe protect-then-url_decode construction
+    (functions/iri.py) equals the direct per-character definition for
+    arbitrary unicode: spaces/reserved ASCII encode, iunreserved
+    non-ASCII stays raw, C1 controls stay encoded, astral planes
+    round-trip through the 4-byte UTF-8 sequences."""
+    from rml_utils_processor_ts_spark.functions.iri import iri_encode
+
+    spark = spark_session_for_property
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["v"]: r["e"] for r in df.select("v", iri_encode(F.col("v")).alias("e")).collect()}
+    for v in vals:
+        assert got[v] == _iri_safe_spec(v), repr(v)
