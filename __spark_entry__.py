@@ -483,16 +483,20 @@ def q_ann_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from rml_utils_processor_ts_spark.operators.similarity import (
+        ensure_lsh_index,
         lsh_index_topk,
-        write_lsh_index,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     base = "/dev/shm" if _os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    path = f"{base}/lsh_gate_index_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
-    write_lsh_index(emb, path, n_planes=6)
+    # v2 suffix: pre-fix runs wrote half-overwritten dirs at the old name;
+    # ensure_* builds once into a temp dir and atomically renames it into
+    # place, so concurrent harnesses (pytest + check_oracles) can never
+    # read a partial index (round-6 FileScanRDD race)
+    path = f"{base}/lsh_gate_index_v2_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    ensure_lsh_index(emb, path, n_planes=6)
     return lsh_index_topk(spark, path, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
@@ -667,9 +671,9 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from rml_utils_processor_ts_spark.operators.similarity import (
+        ensure_ivf_index,
         ivf_index_topk,
         pseudo_random_centroids,
-        write_ivf_index,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
@@ -680,8 +684,9 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     base = "/dev/shm" if _os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    path = f"{base}/ivf_gate_index_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
-    write_ivf_index(emb, path, centroids=cents)
+    # v2 + atomic write-once publish (see the LSH gate comment)
+    path = f"{base}/ivf_gate_index_v2_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    ensure_ivf_index(emb, path, centroids=cents)
     return ivf_index_topk(spark, path, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=4)
 
 

@@ -133,37 +133,61 @@ def _static_iri_ok(tm, position: str) -> bool:
     return False  # rml:reference / fnml function: runtime check
 
 
-def _plan_needs_iri_check(plan) -> bool:
-    """True if any term map in the plan can produce an invalid IRI at
-    runtime — the gate that keeps the per-row regex filter OFF for the
-    (overwhelmingly common) all-template/constant mappings. Measured:
-    the unconditional filter cost ~9% suite-wide (A/B/A r6 window 1)."""
+def _plan_iri_check_positions(plan) -> set[str]:
+    """The quad POSITIONS ('s','p','o','g') that can hold an invalid IRI
+    at runtime — the per-term refinement of the old all-or-nothing gate.
+    The runtime filter regexes only these columns, so a plan whose sole
+    data-dependent term is a function-sourced subject pays 2 rlikes on
+    ``s`` instead of 8 across the quad (measured: the plan-global filter
+    regressed rml_conditional_subject 30% in the r6 A/B/A). A plan with
+    no data-dependent IRI terms — the overwhelmingly common
+    all-template/constant mapping — pays nothing (empty set)."""
+    by_name = {tm.name: tm for tm in plan.triples_maps}
+    positions: set[str] = set()
     for tm in plan.triples_maps:
         if not _static_iri_ok(tm.subject_map.term_map, "subject"):
-            return True
+            positions.add("s")
         gm = tm.subject_map.graph_map
         if gm is not None and not _static_iri_ok(gm, "graph"):
-            return True
+            positions.add("g")
         for pom in tm.predicate_object_maps:
             if not _static_iri_ok(pom.predicate, "predicate"):
-                return True
+                positions.add("p")
             if pom.graph_map is not None and not _static_iri_ok(pom.graph_map, "graph"):
-                return True
+                positions.add("g")
             if pom.object is not None and not _static_iri_ok(pom.object, "object"):
-                return True
-    return False
+                positions.add("o")
+            if pom.parent_triples_map is not None:
+                # referencing object map: the OBJECT is the parent's
+                # subject IRI — a data-dependent parent subject needs
+                # the o-column check
+                parent = by_name.get(pom.parent_triples_map)
+                if parent is not None and not _static_iri_ok(
+                    parent.subject_map.term_map, "subject"
+                ):
+                    positions.add("o")
+    return positions
 
 
-def _valid_iri_quad() -> Column:
-    """Row predicate: every IRI-typed term in the quad is a valid
-    absolute IRI (literals and blank nodes exempt; ``_:`` graph labels
-    are blank nodes by the g-column convention)."""
-    s_ok = (F.col("s_termtype") != "IRI") | _valid_iri_term(F.col("s"))
-    p_ok = _valid_iri_term(F.col("p"))
-    o_ok = (F.col("o_termtype") != "IRI") | _valid_iri_term(F.col("o"))
-    g = F.col("g")
-    g_ok = g.isNull() | g.startswith("_:") | _valid_iri_term(g)
-    return s_ok & p_ok & o_ok & g_ok
+def _valid_iri_quad(positions: set[str]) -> Column:
+    """Row predicate: every IRI-typed term in the given quad positions is
+    a valid absolute IRI (literals and blank nodes exempt; ``_:`` graph
+    labels are blank nodes by the g-column convention). Positions proven
+    valid at plan time are not touched."""
+    preds: list[Column] = []
+    if "s" in positions:
+        preds.append((F.col("s_termtype") != "IRI") | _valid_iri_term(F.col("s")))
+    if "p" in positions:
+        preds.append(_valid_iri_term(F.col("p")))
+    if "o" in positions:
+        preds.append((F.col("o_termtype") != "IRI") | _valid_iri_term(F.col("o")))
+    if "g" in positions:
+        g = F.col("g")
+        preds.append(g.isNull() | g.startswith("_:") | _valid_iri_term(g))
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
 
 
 def _obj_struct(
@@ -174,20 +198,31 @@ def _obj_struct(
     lang: Column,
     target: Column,
     g_override: Column | None = None,
+    *,
+    emit_g_override: bool = False,
 ) -> Column:
     # g_override carries a POM-level graph (R2RML §9); null means "use
-    # the subject map's graph column" (coalesced at the final select)
-    return F.struct(
+    # the subject map's graph column" (coalesced at the final select).
+    # The field exists ONLY when the TriplesMap actually has POM-level
+    # graph maps (emit_g_override) — an always-present null field rode
+    # in every struct of every plan and measurably widened the explode
+    # (r6 A/B/A: nquads_lines +19%). All structs of one TM share the
+    # flag so the explode array stays schema-homogeneous.
+    fields = [
         pred.alias("p"),
         obj.cast("string").alias("o"),
         ttype.alias("o_termtype"),
         dtype.alias("o_datatype"),
         lang.alias("o_lang"),
         target.alias("target_id"),
-        (g_override if g_override is not None else F.lit(None).cast("string")).alias(
-            "g_override"
-        ),
-    )
+    ]
+    if emit_g_override:
+        fields.append(
+            (g_override if g_override is not None else F.lit(None).cast("string")).alias(
+                "g_override"
+            )
+        )
+    return F.struct(*fields)
 
 
 class PlanExecutor:
@@ -398,8 +433,10 @@ class PlanExecutor:
         triples = frames[0]
         for f in frames[1:]:
             triples = triples.unionByName(f)
-        if self.validate_iris and _plan_needs_iri_check(plan):
-            triples = triples.filter(_valid_iri_quad())
+        if self.validate_iris:
+            check_positions = _plan_iri_check_positions(plan)
+            if check_positions:
+                triples = triples.filter(_valid_iri_quad(check_positions))
         if self.dedupe:
             # RDF graphs are sets (B12): duplicate quads collapse.
             triples = triples.dropDuplicates(TRIPLE_COLUMNS)
@@ -500,11 +537,12 @@ class PlanExecutor:
                     # R2RML §9 union semantics: a POM-level graph map
                     # sends this POM's quads to its graph AND the subject
                     # map's graph(s); with neither, the default graph
-                    for g_col in self._pom_graphs(tm, pom, resolve, graph):
+                    for g_col, pg_guard in self._pom_graphs(tm, pom, resolve, graph):
+                        obj_c = obj if pg_guard is None else F.when(pg_guard.isNotNull(), obj)
                         quad_structs.append(
                             quad(
                                 pred,
-                                obj,
+                                obj_c,
                                 effective_term_type(pom.object, "object"),
                                 dtype_col,
                                 lang_col,
@@ -529,17 +567,23 @@ class PlanExecutor:
             return F.lit(None).cast("string")
         return compile_term_map(gm, resolve, "graph")
 
-    def _pom_graphs(self, tm: TriplesMap, pom, resolve, subject_graph: Column) -> list[Column]:
+    def _pom_graphs(
+        self, tm: TriplesMap, pom, resolve, subject_graph: Column
+    ) -> list[tuple[Column, Column | None]]:
         """The graph columns a POM's quads land in (R2RML §9): the union
         of subject-map and POM graph maps; no POM graph map -> just the
         subject graph column (which is a null literal for the default
-        graph)."""
+        graph). Each entry is (graph_col, null_guard): for a data-derived
+        POM graph map, a null evaluation is a data error and the quad
+        must be DROPPED (guard = the graph expr; caller nulls the object
+        when it is null) rather than rerouted to the default graph."""
         if pom.graph_map is None:
-            return [subject_graph]
+            return [(subject_graph, None)]
         pg = compile_term_map(pom.graph_map, resolve, "graph")
+        guard = pg if pom.graph_map.constant is None else None
         if tm.subject_map.graph_map is not None:
-            return [subject_graph, pg]
-        return [pg]
+            return [(subject_graph, None), (pg, guard)]
+        return [(pg, guard)]
 
     def _target_id(self, tm: TriplesMap) -> str:
         lt = tm.subject_map.logical_target
@@ -563,7 +607,6 @@ class PlanExecutor:
         resolve,
         subject: Column,
         by_name: dict[str, TriplesMap],
-        extra_structs: list[Column] | None = None,
         lifecycle_only: bool = False,
     ):
         """Project one TriplesMap into (s,p,o,g) rows: subject + graph +
@@ -572,8 +615,15 @@ class PlanExecutor:
         graph = self._graph_column(tm, resolve)
         target_id = self._target_id(tm)
         s_ttype = effective_term_type(tm.subject_map.term_map, "subject")
+        # the g_override struct field + final coalesce exist only when
+        # this TM has inline POM-level graph maps (join POMs route
+        # graphs inside _join_pom)
+        has_pom_graphs = any(
+            pom.graph_map is not None and pom.parent_triples_map is None
+            for pom in tm.predicate_object_maps
+        )
 
-        structs: list[Column] = list(extra_structs or [])
+        structs: list[Column] = []
         for cls in tm.subject_map.classes:
             structs.append(
                 _obj_struct(
@@ -583,6 +633,7 @@ class PlanExecutor:
                     F.lit(None).cast("string"),
                     F.lit(None).cast("string"),
                     F.lit(target_id),
+                    emit_g_override=has_pom_graphs,
                 )
             )
         join_poms: list[PredicateObjectMap] = []
@@ -601,20 +652,31 @@ class PlanExecutor:
                 # delete TMs, /root/reference/src/rml/incrml.ts:554-576)
                 continue
             pom_graphs: list[Column | None] = [None]  # None = subject graph
+            pg_guard: Column | None = None
             if pom.graph_map is not None:
                 pg = compile_term_map(pom.graph_map, resolve, "graph")
                 pom_graphs = [None, pg] if tm.subject_map.graph_map is not None else [pg]
+                if pom.graph_map.constant is None:
+                    # data-derived POM graph: a null evaluation is a data
+                    # error — DROP the quad (null the object; the explode
+                    # filter removes it) rather than silently rerouting
+                    # it to the subject/default graph via the coalesce
+                    pg_guard = pg
             for tid in self._pom_target_ids(tm, pom):
                 for g_ov in pom_graphs:
+                    obj_c = obj
+                    if g_ov is not None and pg_guard is not None:
+                        obj_c = F.when(pg_guard.isNotNull(), obj)
                     structs.append(
                         _obj_struct(
                             pred,
-                            obj,
+                            obj_c,
                             F.lit(ttype),
                             dtype_col,
                             lang_col,
                             F.lit(tid),
                             g_override=g_ov,
+                            emit_g_override=has_pom_graphs,
                         )
                     )
 
@@ -645,6 +707,7 @@ class PlanExecutor:
                         F.lit(None).cast("string"),
                         F.lit(None).cast("string"),
                         F.lit(target_id),
+                        emit_g_override=has_pom_graphs,
                     )
                 )
             structs.append(
@@ -655,6 +718,7 @@ class PlanExecutor:
                     F.lit(_XSD_DATETIME),
                     F.lit(None).cast("string"),
                     F.lit(target_id),
+                    emit_g_override=has_pom_graphs,
                 )
             )
             if lt.ldes_base_iri:
@@ -701,6 +765,9 @@ class PlanExecutor:
 
         frames: list[DataFrame] = list(ldes_frames)
         if structs:
+            g_col = (
+                F.coalesce(F.col("__pom.g_override"), graph) if has_pom_graphs else graph
+            )
             exploded = (
                 base.withColumn("__pom", F.explode(F.array(*structs)))
                 .select(
@@ -711,7 +778,7 @@ class PlanExecutor:
                     F.col("__pom.o_termtype").alias("o_termtype"),
                     F.col("__pom.o_datatype").alias("o_datatype"),
                     F.col("__pom.o_lang").alias("o_lang"),
-                    F.coalesce(F.col("__pom.g_override"), graph).alias("g"),
+                    g_col.alias("g"),
                     F.col("__pom.target_id").alias("target_id"),
                 )
                 .filter(F.col("o").isNotNull())
@@ -759,10 +826,14 @@ class PlanExecutor:
         # after the join would reference columns no longer in scope.
         pred = compile_term_map(pom.predicate, resolve, "predicate")
         graph_cols = [graph]
+        pg_data_derived = False
         if pom.graph_map is not None:
             # R2RML §9 union: POM graph + subject graph(s)
             pg = compile_term_map(pom.graph_map, resolve, "graph")
             graph_cols = [graph, pg] if tm.subject_map.graph_map is not None else [pg]
+            # a data-derived POM graph evaluating null is a data error:
+            # its quad is dropped, never rerouted to the default graph
+            pg_data_derived = pom.graph_map.constant is None
         child_side = child_base.select(
             F.col("__s").alias("s"),
             pred.alias("__p"),
@@ -771,11 +842,30 @@ class PlanExecutor:
         )
         if len(graph_cols) == 1:
             child_side = child_side.withColumnRenamed("__g0", "__g")
+            if pg_data_derived:
+                child_side = child_side.filter(F.col("__g").isNotNull())
         else:
             # separate projection: the final select may already hold a
-            # target-id explode, and one select allows only one generator
-            child_side = child_side.withColumn(
-                "__g", F.explode(F.array(*[F.col(f"__g{i}") for i in range(len(graph_cols))]))
+            # target-id explode, and one select allows only one generator.
+            # The POM-graph copy (index 1) carries a drop-on-null flag so
+            # a null POM graph kills only ITS quad, not the subject-graph
+            # twin (struct+filter stays in whole-stage codegen; a HOF
+            # array filter would not).
+            child_side = (
+                child_side.withColumn(
+                    "__gs",
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("__g0").alias("g"), F.lit(False).alias("pgflag")),
+                            F.struct(
+                                F.col("__g1").alias("g"),
+                                F.lit(pg_data_derived).alias("pgflag"),
+                            ),
+                        )
+                    ),
+                )
+                .filter(~(F.col("__gs.pgflag") & F.col("__gs.g").isNull()))
+                .withColumn("__g", F.col("__gs.g"))
             )
         parent_side = parent_records.select(
             parent_subject.alias("__po"),

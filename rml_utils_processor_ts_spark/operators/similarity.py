@@ -214,6 +214,67 @@ def write_lsh_index(
     return meta
 
 
+_INDEX_READY_MARKER = "_INDEX_READY"
+
+
+def _publish_index_once(path: str, build_fn) -> bool:
+    """Write-once atomic publish for a LOCAL persisted-index directory:
+    build into a unique temp dir, then ``os.rename`` it into place — the
+    index appears atomically, so a concurrent reader can never observe a
+    half-written index (the race a plain ``mode("overwrite")`` write has:
+    it DELETES the old files mid-scan, and a concurrent reader dies with
+    a FileScanRDD error — observed live in round 6 when two harnesses
+    shared one index path). If a concurrent builder wins the rename, the
+    loser discards its temp dir and reuses the published index; an
+    already-published complete index (``_INDEX_READY`` marker, written
+    last) is reused without rebuilding. Returns True iff this call
+    published the index. Non-local paths (``hdfs://``/``s3a://``) should
+    use the plain writers plus the store's own atomic-commit mechanism
+    (e.g. an Iceberg table or an HDFS rename done by the caller)."""
+    import os
+    import shutil
+    import uuid
+
+    def _ready(p: str) -> bool:
+        return os.path.isdir(p) and os.path.exists(os.path.join(p, _INDEX_READY_MARKER))
+
+    if _ready(path):
+        return False
+    if os.path.isdir(path):
+        # stale half-written dir from a pre-fix overwrite or a crashed
+        # build: move it aside (atomic) before publishing a fresh one
+        aside = f"{path}.__stale__{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, aside)
+            shutil.rmtree(aside, ignore_errors=True)
+        except OSError:
+            pass  # someone else moved/published it concurrently
+    tmp = f"{path}.__build__{uuid.uuid4().hex[:8]}"
+    try:
+        build_fn(tmp)
+        with open(os.path.join(tmp, _INDEX_READY_MARKER), "w"):
+            pass
+        try:
+            os.rename(tmp, path)
+            return True
+        except OSError:
+            return False  # concurrent winner published first — use theirs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ensure_lsh_index(emb: DataFrame, path: str, **kwargs) -> bool:
+    """Concurrency-safe :func:`write_lsh_index`: build-once + atomic
+    rename publish (see :func:`_publish_index_once`). The call shape for
+    any index path that more than one process may build or read."""
+    return _publish_index_once(path, lambda tmp: write_lsh_index(emb, tmp, **kwargs))
+
+
+def ensure_ivf_index(emb: DataFrame, path: str, **kwargs) -> bool:
+    """Concurrency-safe :func:`write_ivf_index` (atomic publish)."""
+    return _publish_index_once(path, lambda tmp: write_ivf_index(emb, tmp, **kwargs))
+
+
 def lsh_index_topk(
     spark,
     index_path: str,

@@ -114,6 +114,16 @@ def effective_term_type(tm: TermMap, position: str) -> str:
     if position in ("subject", "predicate", "graph"):
         return "IRI"
     if position == "object":
+        # R2RML §7.4.1: a term map carrying rr:language / rr:datatype
+        # (or the data-derived rml:languageMap / rml:datatypeMap)
+        # defaults to rr:Literal even when template/constant-valued
+        if (
+            tm.language is not None
+            or tm.language_map is not None
+            or tm.datatype is not None
+            or tm.datatype_map is not None
+        ):
+            return "Literal"
         if tm.reference is not None:
             return "Literal"
         if tm.constant is not None:

@@ -46,6 +46,12 @@ def _parse_term_map(g: Graph, node: Term, resolve_base: bool = True) -> TermMap:
     if const is not None:
         tm.constant = const.value
         tm.constant_is_iri = const.kind == "iri"
+        # a literal constant carries its own language/datatype
+        # (rr:constant "hello"@en, rr:constant 5 -> xsd:integer);
+        # explicit rr:language / rr:datatype below still override
+        if const.kind == "literal":
+            tm.language = const.lang
+            tm.datatype = const.datatype
     elif template is not None:
         tm.template = template.value
     elif reference is not None:
@@ -130,13 +136,18 @@ def _parse_function(g: Graph, fn_node: Term) -> FunctionCall:
             # canonical constants (voc.canonical_function_iri)
             function_iri = voc.canonical_function_iri(executes.value)
         else:
+            # function parameters are plain values, not IRI positions:
+            # @base must never be prepended to a value template like
+            # "{first} {last}" (it would corrupt the function input),
+            # so parse with resolve_base=False — same rule as
+            # rml:languageMap above
             parent_tm_node = g.object(obj_node, voc.RR_PARENT_TERM_MAP)
             if parent_tm_node is not None:
-                ptm = _parse_term_map(g, parent_tm_node)
+                ptm = _parse_term_map(g, parent_tm_node, resolve_base=False)
                 ptm.datatype = "urn:rml-spark:parentTermMap"  # marker
                 tm = ptm
             else:
-                tm = _parse_term_map(g, obj_node)
+                tm = _parse_term_map(g, obj_node, resolve_base=False)
             # repeated parameters (grel:p_array_a appears once per element
             # of an array_join, /root/reference/src/rml/incrml.ts:496-507)
             # get positional '#N' suffixes instead of clobbering each other
@@ -343,7 +354,13 @@ def _parse_pom(g: Graph, node: Term) -> PredicateObjectMap:
         lt_node = g.object(node, voc.RML_LOGICAL_TARGET)
         return PredicateObjectMap(
             predicate=pred,
-            object=TermMap(constant=o.value, constant_is_iri=(o.kind == "iri")),
+            object=TermMap(
+                constant=o.value,
+                constant_is_iri=(o.kind == "iri"),
+                # literal shortcut keeps its own tag/type (rr:object "x"@en)
+                language=o.lang,
+                datatype=o.datatype,
+            ),
             logical_target=_parse_logical_target(g, lt_node) if lt_node is not None else None,
             graph_map=_parse_graph_map(g, node),
         )

@@ -34,6 +34,7 @@ size per step, no cross-document state.
 
 from __future__ import annotations
 
+import math
 import re
 import xml.etree.ElementTree as ET
 
@@ -61,11 +62,18 @@ _AXES = (
 )
 
 
+def _xpath_round(x: float) -> int:
+    """XPath 1.0 round(): half rounds toward +infinity (floor(x+0.5)),
+    unlike Python's banker's rounding — substring('12345', 2.5) starts
+    at position 3, not 2."""
+    return math.floor(x + 0.5)
+
+
 def _xpath_substring(v: str, start: float, length: float | None) -> str:
     """XPath 1.0 substring(): 1-based, round() semantics, position
     window [round(start), round(start)+round(length))."""
-    s = round(start)
-    e = float("inf") if length is None else s + round(length)
+    s = _xpath_round(start)
+    e = float("inf") if length is None else s + _xpath_round(length)
     return "".join(ch for i, ch in enumerate(v, 1) if i >= s and i < e)
 
 

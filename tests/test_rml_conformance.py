@@ -404,7 +404,7 @@ def test_iri_validation_statically_gated():
     skip the runtime regex filter entirely; reference-/function-sourced
     IRI terms, placeholder-leading templates, and invalid constants
     turn it on. No Spark session needed — this is plan-time analysis."""
-    from rml_utils_processor_ts_spark.operators.executor import _plan_needs_iri_check
+    from rml_utils_processor_ts_spark.operators.executor import _plan_iri_check_positions
     from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
 
     def plan(subject, om):
@@ -416,17 +416,37 @@ ex:m a rr:TriplesMap ;
 """)
 
     tpl = 'rr:template "http://ex.org/c/{k}"'
-    assert not _plan_needs_iri_check(plan(tpl, 'rml:reference "v"'))  # literal object
-    assert not _plan_needs_iri_check(plan(tpl, "rr:constant <http://ex.org/o>"))
-    assert _plan_needs_iri_check(plan(tpl, 'rml:reference "v" ; rr:termType rr:IRI'))
-    assert _plan_needs_iri_check(plan('rr:template "{scheme}://x/{k}"', 'rml:reference "v"'))
-    assert _plan_needs_iri_check(plan('rml:reference "u"', 'rml:reference "v"'))
+    assert _plan_iri_check_positions(plan(tpl, 'rml:reference "v"')) == set()  # literal object
+    assert _plan_iri_check_positions(plan(tpl, "rr:constant <http://ex.org/o>")) == set()
+    # r7: the filter is per-POSITION — a data-dependent object turns on
+    # only the o-column check, not 8 rlikes across the quad
+    assert _plan_iri_check_positions(plan(tpl, 'rml:reference "v" ; rr:termType rr:IRI')) == {"o"}
+    assert _plan_iri_check_positions(plan('rr:template "{scheme}://x/{k}"', 'rml:reference "v"')) == {"s"}
+    assert _plan_iri_check_positions(plan('rml:reference "u"', 'rml:reference "v"')) == {"s"}
     # bad template literal (space in the constant part) -> runtime filter
-    assert _plan_needs_iri_check(plan('rr:template "http://ex.org/a b/{k}"', 'rml:reference "v"'))
+    assert _plan_iri_check_positions(plan('rr:template "http://ex.org/a b/{k}"', 'rml:reference "v"')) == {"s"}
     # blank-node subject template: nothing to validate
-    assert not _plan_needs_iri_check(
+    assert _plan_iri_check_positions(
         plan('rr:template "b{k}" ; rr:termType rr:BlankNode', 'rml:reference "v"')
-    )
+    ) == set()
+    # referencing object map over a data-dependent parent subject: the
+    # parent IRI lands in the o column of the join quads
+    join_plan = parse_mapping("""
+ex:child a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "x" ; rml:referenceFormulation ql:CSV ] ;
+  rr:subjectMap [ rr:template "http://ex.org/c/{k}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:p ; rr:objectMap [
+      rr:parentTriplesMap ex:parent ;
+      rml:joinCondition [ fnml:functionValue [
+        rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant idlab-fn:equal ] ] ;
+        rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "k" ] ] ;
+        rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ; rr:objectMap [ rr:parentTermMap [ rml:reference "u" ] ] ]
+      ] ] ] ] .
+ex:parent a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "y" ; rml:referenceFormulation ql:CSV ] ;
+  rr:subjectMap [ rml:reference "u" ; rr:termType rr:IRI ] .
+""")
+    assert _plan_iri_check_positions(join_plan) == {"s", "o"}
 
 
 def test_base_iri_resolution(spark):
