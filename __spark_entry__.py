@@ -1149,8 +1149,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_link_fuzzy": q_entity_link_fuzzy,
     "skew_salted_agg": q_skew_salted_agg,
     "kafka_records_extract": q_kafka_records_extract,
-    "url_normalize_dedup": q_url_normalize_dedup,
-    "paragraph_dedup": q_paragraph_dedup,
     "quality_filter": q_quality_filter,
     "doc_chunking": q_doc_chunking,
     "sessionization": q_sessionization,
@@ -1167,7 +1165,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_split_join": q_skew_split_join,
     "rml_csv_dialect": q_rml_csv_dialect,
     "repetition_signals": q_repetition_signals,
-    "contamination_check": q_contamination_check,
     "stratified_sample": q_stratified_sample,
     "html_extract": q_html_extract,
     "domain_profile": q_domain_profile,
@@ -1253,6 +1250,15 @@ QUERIES.update(
         "kg_iri_audit": q_kg_iri_audit,
         "kg_orphan_objects": q_kg_orphan_objects,
         "unigram_logprob": q_unigram_logprob,
+        # round-7 rotation (r6 VERDICT #5): the serialization/LDES twins
+        # get their first driver row since r4; the freed slots are
+        # long-stable queries whose kernels stay gated elsewhere —
+        # paragraph_dedup/url_normalize_dedup (exact-hash dedupe kernel:
+        # dedup_exact; URL parsing: domain_profile) and
+        # contamination_check (n-gram Jaccard kernel: dedup_ngram_jaccard)
+        "ntriples_lines": q_ntriples_lines,
+        "turtle_lines": q_turtle_lines,
+        "rml_ldes_base_iri": q_rml_ldes_base_iri,
     }
 )
 
@@ -1263,9 +1269,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "ann_lsh_index_topk": q_ann_lsh_index_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
-    "rml_ldes_base_iri": q_rml_ldes_base_iri,
-    "ntriples_lines": q_ntriples_lines,
-    "turtle_lines": q_turtle_lines,
+    "url_normalize_dedup": q_url_normalize_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
+    "contamination_check": q_contamination_check,
 }
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..plans import voc
 from ..plans.model import LogicalSource, MappingPlan, PredicateObjectMap, TriplesMap
+from ..functions.xsdlex import canonicalize_typed
 from ..sources.registry import records_df, ref_column_name
 from .terms import (
     compile_datatype,
@@ -188,6 +189,22 @@ def _valid_iri_quad(positions: set[str]) -> Column:
     for p in preds[1:]:
         out = out & p
     return out
+
+
+def _compile_object(om, resolve) -> Column:
+    """Object column for a non-join POM: term-map compile plus the XSD
+    canonical-lexical transform for typed literals (R2RML §10.2 /
+    xsdlex docstring — "20.0"^^xsd:double renders 2.0E1). The transform
+    compiles in only when the object map statically carries a
+    canonicalizable rr:datatype (or a data-derived rml:datatypeMap,
+    which pays a runtime CASE); untyped objects are untouched."""
+    obj = compile_term_map(om, resolve, "object")
+    if effective_term_type(om, "object") == "Literal":
+        if om.datatype_map is not None:
+            obj = canonicalize_typed(obj, None, compile_datatype(om, resolve))
+        elif om.datatype is not None:
+            obj = canonicalize_typed(obj, om.datatype, None)
+    return obj
 
 
 def _obj_struct(
@@ -530,7 +547,7 @@ class PlanExecutor:
                     )
                     continue
                 pred = compile_term_map(pom.predicate, resolve, "predicate")
-                obj = compile_term_map(pom.object, resolve, "object")
+                obj = _compile_object(pom.object, resolve)
                 lang_col = compile_language(pom.object, resolve)
                 dtype_col = compile_datatype(pom.object, resolve)
                 for tid in self._pom_target_ids(tm, pom):
@@ -642,7 +659,7 @@ class PlanExecutor:
                 join_poms.append(pom)
                 continue
             pred = compile_term_map(pom.predicate, resolve, "predicate")
-            obj = compile_term_map(pom.object, resolve, "object")
+            obj = _compile_object(pom.object, resolve)
             ttype = effective_term_type(pom.object, "object")
             dtype_col = compile_datatype(pom.object, resolve)
             lang_col = compile_language(pom.object, resolve)

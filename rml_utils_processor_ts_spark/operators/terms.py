@@ -12,7 +12,6 @@ references (``('p0=' || @id || ...)``, the watched-property form built at
 
 from __future__ import annotations
 
-import re
 from collections.abc import Callable
 
 from pyspark.sql import Column
@@ -20,25 +19,18 @@ from pyspark.sql import functions as F
 
 from ..functions.fno import compile_function
 from ..functions.iri import iri_encode
-from ..plans.model import FunctionCall, TermMap, parse_concat_reference
 
-_TEMPLATE_RE = re.compile(r"\{([^{}]+)\}")
+# template_parts lives beside the TermMap model so that
+# TermMap.references() and this compiler read templates identically
+# (re-exported here for the executor and tests)
+from ..plans.model import (
+    FunctionCall,
+    TermMap,
+    parse_concat_reference,
+    template_parts,
+)
 
 RefResolver = Callable[[str], Column]
-
-
-def template_parts(template: str) -> list[tuple[str, str]]:
-    """Split 'http://ex/{@id}/x' -> [('lit','http://ex/'),('ref','@id'),('lit','/x')]."""
-    out: list[tuple[str, str]] = []
-    pos = 0
-    for m in _TEMPLATE_RE.finditer(template):
-        if m.start() > pos:
-            out.append(("lit", template[pos : m.start()]))
-        out.append(("ref", m.group(1)))
-        pos = m.end()
-    if pos < len(template):
-        out.append(("lit", template[pos:]))
-    return out
 
 
 def compile_template(template: str, resolve: RefResolver, iri_position: bool) -> Column:

@@ -16,6 +16,43 @@ import hashlib
 import re
 from dataclasses import dataclass, field
 
+# one token per match: a backslash escape (R2RML §7.3 template grammar:
+# ``\\`` ``\{`` ``\}`` denote literal backslash/braces) or a placeholder
+_TEMPLATE_TOKEN_RE = re.compile(r"\\([\\{}])|\{([^{}]+)\}")
+
+
+def template_parts(template: str) -> list[tuple[str, str]]:
+    """Split 'http://ex/{@id}/x' -> [('lit','http://ex/'),('ref','@id'),('lit','/x')].
+
+    Backslash escapes per the R2RML template grammar: ``\\{`` / ``\\}``
+    are literal braces (they do NOT open a placeholder), ``\\\\`` is a
+    literal backslash — so ``a\\{b\\}{c}`` yields literal ``a{b}`` then
+    placeholder ``c``. A literal brace in an IRI-position template is an
+    IRI-forbidden character and flows into the normal data-error drop
+    (executor ``_static_iri_ok``); in literal position it is emitted raw.
+    Lives here (not in operators/terms.py) so ``TermMap.references()``
+    and the column compiler read templates with one grammar.
+    """
+    out: list[tuple[str, str]] = []
+    buf: list[str] = []
+    pos = 0
+    for m in _TEMPLATE_TOKEN_RE.finditer(template):
+        if m.start() > pos:
+            buf.append(template[pos : m.start()])
+        if m.group(1) is not None:
+            buf.append(m.group(1))
+        else:
+            if buf:
+                out.append(("lit", "".join(buf)))
+                buf = []
+            out.append(("ref", m.group(2)))
+        pos = m.end()
+    if pos < len(template):
+        buf.append(template[pos:])
+    if buf:
+        out.append(("lit", "".join(buf)))
+    return out
+
 
 @dataclass
 class TermMap:
@@ -35,6 +72,13 @@ class TermMap:
     # rml:datatypeMap — a data-derived datatype IRI (newer RML spec);
     # mutually exclusive with the static rr:datatype
     datatype_map: "TermMap | None" = None
+    # rr:inverseExpression (R2RML §7.7): a SQL hint for locating the rows
+    # a generated term came from. Parsed and round-tripped for vocabulary
+    # completeness; execution is a documented no-op — the DataFrame
+    # engine resolves referencing-object maps with equi-joins, so the
+    # reverse-lookup optimization the hint enables in SQL processors has
+    # no counterpart here (RMLMapper likewise ignores it).
+    inverse_expression: str | None = None
 
     @property
     def kind(self) -> str:
@@ -69,7 +113,8 @@ class TermMap:
         if self.reference is not None:
             out = decompose_reference(self.reference)
         elif self.template is not None:
-            out = re.findall(r"[^{}]+(?=})", self.template)
+            # escape-aware (r7): \{literal\} braces are not placeholders
+            out = [v for k, v in template_parts(self.template) if k == "ref"]
         elif self.function is not None:
             out = self.function.references()
         if self.language_map is not None:

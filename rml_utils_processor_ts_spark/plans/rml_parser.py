@@ -78,6 +78,9 @@ def _parse_term_map(g: Graph, node: Term, resolve_base: bool = True) -> TermMap:
     dt_map = g.object(node, voc.RML_DATATYPE_MAP)
     if dt_map is not None:
         tm.datatype_map = _parse_term_map(g, dt_map)
+    inv = g.object(node, voc.RR_INVERSE_EXPRESSION)
+    if inv is not None:
+        tm.inverse_expression = inv.value
     # @base resolution for relative templates in IRI position (RMLMapper
     # resolves template output against the document base; resolving the
     # template text is equivalent since expansion values are IRI-encoded

@@ -43,7 +43,9 @@ def _lit(s: str) -> str:
     """Turtle literal — long form when the value contains newlines or
     double quotes (how rml:query SQL survives unescaped)."""
     if "\n" in s or '"' in s:
-        if '"""' not in s and not s.endswith('"'):
+        # a backslash in long form would still ECHAR-decode on re-parse,
+        # so backslash-bearing values take the fully-escaped short form
+        if '"""' not in s and not s.endswith('"') and "\\" not in s:
             return f'"""{s}"""'
         body = s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
         return f'"{body}"'
@@ -103,6 +105,8 @@ def _term_map_block(tm: TermMap, object_position: bool = False) -> str:
         parts.append(
             "rml:datatypeMap [ " + _term_map_block(tm.datatype_map).replace("\n", " ") + " ]"
         )
+    if tm.inverse_expression is not None:
+        parts.append(f"rr:inverseExpression {_lit(tm.inverse_expression)}")
     return " ;\n".join(parts)
 
 

@@ -62,6 +62,7 @@ RR_GRAPH = RR + "graph"  # constant shortcut
 RR_DEFAULT_GRAPH = RR + "defaultGraph"
 RR_OBJECT_MAP = RR + "objectMap"
 RR_CONSTANT = RR + "constant"
+RR_INVERSE_EXPRESSION = RR + "inverseExpression"
 RR_TEMPLATE = RR + "template"
 RR_TERM_TYPE = RR + "termType"
 RR_DATATYPE = RR + "datatype"

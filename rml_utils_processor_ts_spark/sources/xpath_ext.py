@@ -11,6 +11,11 @@ this module is only consulted on SyntaxError):
 * numeric predicates (r6): ``number(A) <op> k``, ``A <op> k`` (implicit
   number() conversion, NaN fails every comparison),
   ``string-length(A) <op> k``;
+* boolean connectives (r7): ``P1 and P2``, ``P1 or P2`` with XPath
+  precedence (``or`` < ``and`` < ``not()``) and parenthesized groups
+  ``(P1 or P2) and P3`` — splitting only at top level, so quoted
+  literals and nested calls are opaque. ``position()``/``last()``
+  remain whole-predicate only (not composable under connectives);
 * non-child axes as steps: ``following-sibling::name``,
   ``preceding-sibling::name``, ``ancestor::name``, ``parent::name``
   (positions follow XPath proximity order: reverse axes count outward),
@@ -41,6 +46,7 @@ import xml.etree.ElementTree as ET
 _EXT_MARKERS = (
     "::", "contains(", "starts-with(", "position()", "not(",
     "number(", "string-length(", "substring(",
+    " and ", " or ",
 )
 
 _POSITION_RE = re.compile(r"^position\(\)\s*(<=|>=|!=|<|>|=)\s*(\d+)$")
@@ -60,6 +66,67 @@ _AXES = (
     "following-sibling", "preceding-sibling", "ancestor", "parent",
     "descendant", "descendant-or-self", "self",
 )
+
+
+def _split_bool(pred: str, word: str) -> list[str] | None:
+    """Split a predicate on the top-level boolean ``word`` (' and ' /
+    ' or ' with surrounding whitespace, outside quotes and outside any
+    paren/bracket nesting). Returns None when the word never occurs at
+    top level, so callers fall through to the simple-predicate grammar."""
+    token = f" {word} "
+    parts, cur, depth, quote = [], [], 0, None
+    i, n = 0, len(pred)
+    while i < n:
+        ch = pred[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif depth == 0 and pred.startswith(token, i):
+            parts.append("".join(cur))
+            cur = []
+            i += len(token)
+            continue
+        else:
+            cur.append(ch)
+        i += 1
+    if not parts:
+        return None
+    parts.append("".join(cur))
+    return parts
+
+
+def _strip_group_parens(pred: str) -> str | None:
+    """'(...)' -> '...' when the outer parens enclose the WHOLE
+    predicate as one balanced group, else None."""
+    if not (pred.startswith("(") and pred.endswith(")")):
+        return None
+    depth, quote = 0, None
+    for i, ch in enumerate(pred):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i < len(pred) - 1:
+                return None  # closes before the end: not one group
+    return pred[1:-1].strip()
 
 
 def _xpath_round(x: float) -> int:
@@ -273,6 +340,18 @@ class _Walker:
 
     def _bool_pred(self, el, pred: str) -> bool:
         pred = pred.strip()
+        # XPath 1.0 boolean grammar, precedence or < and < not()/atoms
+        # (r7, VERDICT missing #5): each connective splits only at top
+        # level, so parenthesized groups and quoted literals are opaque
+        parts = _split_bool(pred, "or")
+        if parts is not None:
+            return any(self._bool_pred(el, p) for p in parts)
+        parts = _split_bool(pred, "and")
+        if parts is not None:
+            return all(self._bool_pred(el, p) for p in parts)
+        inner = _strip_group_parens(pred)
+        if inner is not None:
+            return self._bool_pred(el, inner)
         if pred.startswith("not(") and pred.endswith(")"):
             return not self._bool_pred(el, pred[4:-1])
         m = _FUNC2_RE.match(pred) or _FUNC2_DQ_RE.match(pred)

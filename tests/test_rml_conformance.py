@@ -192,7 +192,9 @@ ex:sport a rr:TriplesMap ;
     ),
     (
         "RMLTC0016a-theme",
-        "explicit rr:datatype preserves the lexical form",
+        "explicit rr:datatype renders the XSD canonical lexical form"
+        " (r7: matches RMLMapper's parse-then-reserialize; r6 preserved"
+        " the raw form)",
         _m(
             'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
             "  rr:predicateObjectMap [ rr:predicate ex:n ; "
@@ -202,8 +204,8 @@ ex:sport a rr:TriplesMap ;
         ),
         {"d.json": "inline:" + '[{"Id": "10", "V": "05", "W": "4.60"}]'},
         {
-            (EX + "10", "IRI", "http://example.org/n", "05", "Literal", XSD + "integer", None, None),
-            (EX + "10", "IRI", "http://example.org/d", "4.60", "Literal", XSD + "double", None, None),
+            (EX + "10", "IRI", "http://example.org/n", "5", "Literal", XSD + "integer", None, None),
+            (EX + "10", "IRI", "http://example.org/d", "4.6E0", "Literal", XSD + "double", None, None),
         },
     ),
     (
@@ -352,7 +354,8 @@ ex:sport a rr:TriplesMap ;
         {"d.json": "inline:" + '[{"Id": "1", "V": "5", "T": "integer"}, {"Id": "2", "V": "4.6", "T": "double"}]'},
         {
             (EX + "1", "IRI", "http://example.org/v", "5", "Literal", XSD + "integer", None, None),
-            (EX + "2", "IRI", "http://example.org/v", "4.6", "Literal", XSD + "double", None, None),
+            # r7: data-derived datatypes canonicalize too (4.6 -> 4.6E0)
+            (EX + "2", "IRI", "http://example.org/v", "4.6E0", "Literal", XSD + "double", None, None),
         },
     ),
     (
@@ -378,6 +381,150 @@ ex:sport a rr:TriplesMap ;
         ),
         {"d.json": "inline:" + '[{"Id": "1", "V": "x"}]'},
         {(EX + "1", "IRI", "http://example.org/s", "x", "Literal", XSD + "string", None, None)},
+    ),
+    # ---- round 7: official-suite hard cases (r6 VERDICT #4) ----
+    (
+        "RMLTC-template-escape-literal-theme",
+        r"R2RML template grammar: \{ \} are literal braces, \\ a literal"
+        " backslash, in a literal-position template",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:expr ; "
+            'rr:objectMap [ rr:template "\\\\{{V}\\\\}" ; rr:termType rr:Literal ] ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:bs ; "
+            'rr:objectMap [ rr:template "a\\\\\\\\{V}" ; rr:termType rr:Literal ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "x"}]'},
+        {
+            # "\{{V}\}" -> literal "{" + value + literal "}"
+            (EX + "1", "IRI", "http://example.org/expr", "{x}", "Literal", None, None, None),
+            # "a\\{V}" -> literal "a\" + value (the escaped backslash does
+            # NOT swallow the placeholder)
+            (EX + "1", "IRI", "http://example.org/bs", "a\\x", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC-template-escape-iri-theme",
+        "an escaped literal brace in an IRI-position template is an"
+        " IRI-forbidden character: data error, quad dropped (RMLMapper"
+        " raises per-term; lenient processors drop — we drop)",
+        _m('rr:subjectMap [ rr:template "http://example.com/\\\\{x\\\\}/{Id}" ; rr:class foaf:Person ]'),
+        {"d.json": "inline:" + '[{"Id": "1"}]'},
+        set(),
+    ),
+    (
+        "RMLTC0016b-double-canonical-theme",
+        "xsd:double datatyped literals render the XSD canonical lexical"
+        " form (20.0 -> 2.0E1, 0.005 -> 5.0E-3; RMLMapper parses then"
+        " re-serializes canonically)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; "
+            f'rr:objectMap [ rml:reference "V" ; rr:datatype <{XSD}double> ] ]'
+        ),
+        {
+            "d.json": "inline:"
+            + '[{"Id": "1", "V": "20.0"}, {"Id": "2", "V": "0.005"},'
+            ' {"Id": "3", "V": "-1E3"}, {"Id": "4", "V": "0"}]'
+        },
+        {
+            (EX + "1", "IRI", "http://example.org/v", "2.0E1", "Literal", XSD + "double", None, None),
+            (EX + "2", "IRI", "http://example.org/v", "5.0E-3", "Literal", XSD + "double", None, None),
+            (EX + "3", "IRI", "http://example.org/v", "-1.0E3", "Literal", XSD + "double", None, None),
+            (EX + "4", "IRI", "http://example.org/v", "0.0E0", "Literal", XSD + "double", None, None),
+        },
+    ),
+    (
+        "RMLTC0016c-decimal-canonical-theme",
+        "xsd:decimal canonical form: no leading/trailing zeros, decimal"
+        " point with a digit on each side",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; "
+            f'rr:objectMap [ rml:reference "V" ; rr:datatype <{XSD}decimal> ] ]'
+        ),
+        {
+            "d.json": "inline:"
+            + '[{"Id": "1", "V": "05.10"}, {"Id": "2", "V": "5"}, {"Id": "3", "V": "-0.0"}]'
+        },
+        {
+            (EX + "1", "IRI", "http://example.org/v", "5.1", "Literal", XSD + "decimal", None, None),
+            (EX + "2", "IRI", "http://example.org/v", "5.0", "Literal", XSD + "decimal", None, None),
+            (EX + "3", "IRI", "http://example.org/v", "0.0", "Literal", XSD + "decimal", None, None),
+        },
+    ),
+    (
+        "RMLTC0016d-boolean-canonical-theme",
+        "xsd:boolean canonical form: 1 -> true, 0 -> false",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; "
+            f'rr:objectMap [ rml:reference "V" ; rr:datatype <{XSD}boolean> ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "1"}, {"Id": "2", "V": "0"}, {"Id": "3", "V": "true"}]'},
+        {
+            (EX + "1", "IRI", "http://example.org/v", "true", "Literal", XSD + "boolean", None, None),
+            (EX + "2", "IRI", "http://example.org/v", "false", "Literal", XSD + "boolean", None, None),
+            (EX + "3", "IRI", "http://example.org/v", "true", "Literal", XSD + "boolean", None, None),
+        },
+    ),
+    (
+        "RMLTC0016e-integer-canonical-theme",
+        "xsd:integer canonical form: no '+', no leading zeros, -0 -> 0",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; "
+            f'rr:objectMap [ rml:reference "V" ; rr:datatype <{XSD}integer> ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "+05"}, {"Id": "2", "V": "-0"}, {"Id": "3", "V": "42"}]'},
+        {
+            (EX + "1", "IRI", "http://example.org/v", "5", "Literal", XSD + "integer", None, None),
+            (EX + "2", "IRI", "http://example.org/v", "0", "Literal", XSD + "integer", None, None),
+            (EX + "3", "IRI", "http://example.org/v", "42", "Literal", XSD + "integer", None, None),
+        },
+    ),
+    (
+        "RMLTC0016f-illtyped-passthrough-theme",
+        "a value outside the datatype's lexical space passes through"
+        " unchanged (ill-typed literal, RMLMapper lenient mode)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; "
+            f'rr:objectMap [ rml:reference "V" ; rr:datatype <{XSD}double> ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "V": "abc"}]'},
+        {(EX + "1", "IRI", "http://example.org/v", "abc", "Literal", XSD + "double", None, None)},
+    ),
+    (
+        "RMLTC0019-percent-reencode-theme",
+        "an IRI-template value already containing %XX is re-encoded:"
+        " the '%' itself percent-encodes (RMLMapper double-encodes;"
+        " iri-safe encoding has no decode step)",
+        _m('rr:subjectMap [ rr:template "http://example.com/{Id}" ; rr:class foaf:Person ]'),
+        {"d.json": "inline:" + '[{"Id": "p%20q"}]'},
+        {(EX + "p%2520q", "IRI", RDF_TYPE, FOAF + "Person", "IRI", None, None, None)},
+    ),
+    (
+        "RMLTC-datatypeMap-canonical-theme",
+        "canonicalization also applies through a data-derived"
+        " rml:datatypeMap (runtime CASE on the datatype column)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:v ; "
+            'rr:objectMap [ rml:reference "V" ; '
+            'rml:datatypeMap [ rr:template "http://www.w3.org/2001/XMLSchema#{DT}" ] ] ]'
+        ),
+        {
+            "d.json": "inline:"
+            + '[{"Id": "1", "V": "20.0", "DT": "double"},'
+            ' {"Id": "2", "V": "1", "DT": "boolean"},'
+            ' {"Id": "3", "V": "20.0", "DT": "string"}]'
+        },
+        {
+            (EX + "1", "IRI", "http://example.org/v", "2.0E1", "Literal", XSD + "double", None, None),
+            (EX + "2", "IRI", "http://example.org/v", "true", "Literal", XSD + "boolean", None, None),
+            (EX + "3", "IRI", "http://example.org/v", "20.0", "Literal", XSD + "string", None, None),
+        },
     ),
 ]
 

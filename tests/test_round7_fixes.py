@@ -243,3 +243,24 @@ def test_ensure_index_rebuilds_stale_dir(spark, tmp_path):
     assert lsh_index_topk(spark, path, [0], k=3).count() > 0
     # second call: already published -> no rebuild
     assert ensure_lsh_index(emb, path, n_planes=4) is False
+
+
+def test_canonicalization_stays_in_codegen(spark):
+    """The XSD canonical-form transforms are regexp/concat/when chains
+    and must not evict the term-map projection from whole-stage codegen
+    (the r6 lesson: one higher-order function in a projection dropped
+    the WHOLE stage to interpreted mode for 1.6-1.8x)."""
+    mapping = """
+ex:m a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ;
+      rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://ex.org/s/{id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:v ;
+      rr:objectMap [ rml:reference "v" ;
+          rr:datatype <http://www.w3.org/2001/XMLSchema#double> ] ] .
+"""
+    res = execute_mapping(spark, mapping, {"d.json": 'inline:[{"id": "1", "v": "20.0"}]'})
+    plan = res.triples._jdf.queryExecution().executedPlan().toString()
+    assert "CodegenFallback" not in plan
+    # and the transform is actually active
+    assert [r["o"] for r in res.triples.collect()] == ["2.0E1"]

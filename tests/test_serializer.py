@@ -189,3 +189,38 @@ ex:m a rr:TriplesMap ;
     assert pom.object.language_map is not None
     rt = parse_mapping(plan_to_rml(plan))
     assert rt.plan_hash() == plan.plan_hash()
+
+
+def test_roundtrip_template_with_escaped_braces():
+    """r7: templates carrying the R2RML escape forms (literal braces and
+    backslashes) survive serialize->reparse — the serializer must emit
+    the fully-escaped short literal form, since Turtle ECHAR-decodes
+    backslashes even inside triple-quoted long strings."""
+    _roundtrip(
+        """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.csv" ; rml:referenceFormulation ql:CSV ] ;
+    rr:subjectMap [ rr:template "http://x/c/{id}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rr:template "\\\\{{v}\\\\}" ; rr:termType rr:Literal ] ] .
+"""
+    )
+
+
+def test_inverse_expression_round_trips():
+    """r7: rr:inverseExpression (R2RML §7.7) parses and re-serializes —
+    vocabulary completeness; execution is a documented no-op (the
+    DataFrame engine resolves referencing maps by equi-join, and
+    RMLMapper likewise ignores the hint)."""
+    mapping = """
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ rml:source "d.csv" ; rml:referenceFormulation ql:CSV ] ;
+    rr:subjectMap [ rr:template "http://x/d/{deptno}" ;
+        rr:inverseExpression "DEPTNO = substr({ID}, 5)" ] .
+"""
+    plan = parse_mapping(mapping)
+    tm = plan.triples_maps[0].subject_map.term_map
+    assert tm.inverse_expression == "DEPTNO = substr({ID}, 5)"
+    rt = parse_mapping(plan_to_rml(plan))
+    assert rt.triples_maps[0].subject_map.term_map.inverse_expression == tm.inverse_expression

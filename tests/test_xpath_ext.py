@@ -177,3 +177,58 @@ def test_new_markers_route_extended():
     assert has_extended_syntax(".//book[string-length(title) = 4]")
     assert has_extended_syntax(".//book[substring(title, 1, 4) = 'Dune']")
     assert has_extended_syntax("descendant-or-self::book")
+
+
+# ---- r7: boolean connectives (and/or/parens) ----------------------------
+
+def test_and_connective(root):
+    ids = [e.get("id") for e in findall_ext(root, ".//book[@genre='scifi' and year > 1970]")]
+    assert ids == ["b3"]
+
+
+def test_or_connective(root):
+    ids = [e.get("id") for e in findall_ext(root, ".//book[@genre='fantasy' or @genre='essay']")]
+    assert ids == ["b2", "b4"]
+
+
+def test_precedence_or_lower_than_and(root):
+    # A or (B and C): scifi matches regardless of year; fantasy needs >1970
+    ids = [
+        e.get("id")
+        for e in findall_ext(
+            root, ".//book[@genre='scifi' or @genre='fantasy' and year > 1970]"
+        )
+    ]
+    assert ids == ["b1", "b3"]
+
+
+def test_paren_group_overrides_precedence(root):
+    # (A or B) and C
+    ids = [
+        e.get("id")
+        for e in findall_ext(
+            root, ".//book[(@genre='scifi' or @genre='fantasy') and year > 1966]"
+        )
+    ]
+    assert ids == ["b2", "b3"]
+
+
+def test_not_over_connective(root):
+    ids = [
+        e.get("id")
+        for e in findall_ext(root, ".//book[not(@genre='scifi' or @genre='fantasy')]")
+    ]
+    assert ids == ["b4"]
+
+
+def test_quoted_connective_word_is_opaque(root):
+    # ' and ' inside a string literal must not split
+    assert findall_ext(root, ".//book[title=' and ']") == []
+    ids = [e.get("id") for e in findall_ext(root, ".//book[contains(title, ' Messiah') and @id='b4']")]
+    assert ids == ["b4"]
+
+
+def test_connectives_flag_extended_syntax():
+    assert has_extended_syntax(".//book[@a='x' and @b='y']")
+    assert has_extended_syntax(".//book[@a='x' or @b='y']")
+    assert not has_extended_syntax(".//book[@android='x']")  # no bare-word false positive
