@@ -32,7 +32,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import voc
-from ..plans.model import LogicalSource, MappingPlan, PredicateObjectMap, TriplesMap
+from ..plans.model import (
+    LANGTAG_PATTERN,
+    LogicalSource,
+    MappingPlan,
+    PredicateObjectMap,
+    TriplesMap,
+)
 from ..functions.xsdlex import canonicalize_typed
 from ..sources.registry import records_df, ref_column_name
 from .terms import (
@@ -204,6 +210,13 @@ def _compile_object(om, resolve) -> Column:
             obj = canonicalize_typed(obj, None, compile_datatype(om, resolve))
         elif om.datatype is not None:
             obj = canonicalize_typed(obj, om.datatype, None)
+        if om.language_map is not None:
+            # data-derived language tag: an ill-formed value is an R2RML
+            # data error — null the object so the quad drops at the
+            # existing o-null filter. Static rr:language validates at
+            # parse time; plans without a languageMap pay nothing.
+            lang = compile_language(om, resolve)
+            obj = F.when(lang.isNull() | lang.rlike(f"^{LANGTAG_PATTERN}$"), obj)
     return obj
 
 

@@ -16,6 +16,12 @@ import hashlib
 import re
 from dataclasses import dataclass, field
 
+# BCP47-shaped language-tag production (the Turtle/R2RML LANGTAG
+# grammar: alpha head, alphanumeric subtags). Shared by the parser's
+# static rr:language validation (raise) and the executor's runtime
+# rml:languageMap guard (drop — R2RML data-error semantics).
+LANGTAG_PATTERN = r"[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*"
+
 # one token per match: a backslash escape (R2RML §7.3 template grammar:
 # ``\\`` ``\{`` ``\}`` denote literal backslash/braces) or a placeholder
 _TEMPLATE_TOKEN_RE = re.compile(r"\\([\\{}])|\{([^{}]+)\}")

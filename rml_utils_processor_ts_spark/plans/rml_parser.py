@@ -14,6 +14,7 @@ import re
 
 from . import voc
 from .model import (
+    LANGTAG_PATTERN,
     FunctionCall,
     JoinCondition,
     LogicalSource,
@@ -25,6 +26,8 @@ from .model import (
     TriplesMap,
 )
 from .turtle import Graph, Term
+
+LANGTAG_RE = re.compile(LANGTAG_PATTERN)
 
 
 class MappingParseError(ValueError):
@@ -70,6 +73,11 @@ def _parse_term_map(g: Graph, node: Term, resolve_base: bool = True) -> TermMap:
         tm.datatype = dtype.value
     lang = g.object(node, voc.RR_LANGUAGE)
     if lang is not None:
+        # R2RML §7.4.2 / RMLTC0015b: a constant rr:language must be a
+        # valid language tag; an invalid one is a mapping error
+        # (RMLMapper raises). Static — costs nothing at runtime.
+        if not LANGTAG_RE.fullmatch(lang.value or ""):
+            raise MappingParseError(f"invalid rr:language tag: {lang.value!r}")
         tm.language = lang.value
     lang_map = g.object(node, voc.RML_LANGUAGE_MAP)
     if lang_map is not None:
@@ -99,19 +107,37 @@ def _parse_term_map(g: Graph, node: Term, resolve_base: bool = True) -> TermMap:
 
 
 def _parse_graph_map(g: Graph, node: Term) -> TermMap | None:
-    """rr:graphMap on ``node``, or the rr:graph constant shortcut.
-    ``rr:graph rr:defaultGraph`` means the default graph — same as no
-    graph map at all (R2RML §9)."""
-    gm_node = g.object(node, voc.RR_GRAPH_MAP)
-    if gm_node is not None:
+    """First graph map on ``node`` (single-graph callers)."""
+    return _parse_graph_maps(g, node)[0]
+
+
+def _parse_graph_maps(g: Graph, node: Term) -> list[TermMap | None]:
+    """ALL rr:graphMap / rr:graph values on ``node`` (R2RML §9 allows
+    several; the generated triple lands in EVERY named graph). ``None``
+    entries mean the default graph (``rr:graph rr:defaultGraph`` is an
+    explicit way to say it, so ``rr:graph ex:g1, rr:defaultGraph`` is
+    g1 AND the default graph). Callers expand multiplicity at PLAN time
+    — one TriplesMap / POM copy per graph — the same one-per-graph
+    expansion the YARRRML front-end already does, so the executor stays
+    single-graph and set-union dedupe restores the exact §9 semantics."""
+    out: list[TermMap | None] = []
+    for gm_node in g.objects(node, voc.RR_GRAPH_MAP):
         gm = _parse_term_map(g, gm_node)
-        if gm.constant == voc.RR_DEFAULT_GRAPH:
-            return None
-        return gm
-    c = g.object(node, voc.RR_GRAPH)
-    if c is None or c.value == voc.RR_DEFAULT_GRAPH:
-        return None
-    return TermMap(constant=c.value, constant_is_iri=(c.kind == "iri"))
+        out.append(None if gm.constant == voc.RR_DEFAULT_GRAPH else gm)
+    for c in g.objects(node, voc.RR_GRAPH):
+        out.append(
+            None
+            if c.value == voc.RR_DEFAULT_GRAPH
+            else TermMap(constant=c.value, constant_is_iri=(c.kind == "iri"))
+        )
+    if not out:
+        return [None]
+    deduped: list[TermMap | None] = []
+    for gm in out:
+        if gm is None and None in deduped:
+            continue
+        deduped.append(gm)
+    return deduped
 
 
 def _parse_function(g: Graph, fn_node: Term) -> FunctionCall:
@@ -337,71 +363,91 @@ def _parse_logical_target(g: Graph, node: Term) -> LogicalTarget:
     return lt
 
 
-def _parse_pom(g: Graph, node: Term) -> PredicateObjectMap:
-    pred_node = g.object(node, voc.RR_PREDICATE_MAP)
-    if pred_node is not None:
-        pred = _parse_term_map(g, pred_node)
-    else:
-        p = g.object(node, voc.RR_PREDICATE)
-        if p is None:
-            raise MappingParseError("PredicateObjectMap without predicate")
-        pred = TermMap(constant=p.value, constant_is_iri=(p.kind == "iri"))
-    obj_node = g.object(node, voc.RR_OBJECT_MAP)
-    if obj_node is None:
-        # rr:object constant shortcut (R2RML §6.3): equivalent to an
-        # objectMap with rr:constant — IRI node => IRI term, literal
-        # node => literal term
-        o = g.object(node, voc.RR_OBJECT)
-        if o is None:
-            raise MappingParseError("PredicateObjectMap without objectMap")
-        lt_node = g.object(node, voc.RML_LOGICAL_TARGET)
-        return PredicateObjectMap(
-            predicate=pred,
-            object=TermMap(
+def _parse_poms(g: Graph, node: Term) -> list[PredicateObjectMap]:
+    """Parse one rr:predicateObjectMap node into its expanded POM list.
+
+    R2RML §6.3: a predicate-object map may carry MULTIPLE predicate maps
+    and MULTIPLE object maps (``rr:predicate ex:a, ex:b``); it generates
+    one triple per (predicate, object) PAIR (official suite RMLTC0003).
+    Expansion happens here, at plan time, so the executor stays a flat
+    per-POM projection compiler — the expanded plan is literally the
+    equivalent single-pair document, and the serializer round-trips it
+    as such (hash-equal on re-parse). Graph maps / logical targets on
+    the POM scope every expanded pair (union semantics are per-POM in
+    §9 and carry over unchanged)."""
+    preds: list[TermMap] = [
+        _parse_term_map(g, pm) for pm in g.objects(node, voc.RR_PREDICATE_MAP)
+    ]
+    preds.extend(
+        TermMap(constant=p.value, constant_is_iri=(p.kind == "iri"))
+        for p in g.objects(node, voc.RR_PREDICATE)
+    )
+    if not preds:
+        raise MappingParseError("PredicateObjectMap without predicate")
+    pom_lt_node = g.object(node, voc.RML_LOGICAL_TARGET)
+    # multiple POM graph maps expand like predicates: one POM copy per
+    # graph (§9: the pair-triple lands in every named graph; the copy
+    # whose graph is None contributes the subject-graph/default quad,
+    # which every copy also emits — set-union dedupe collapses those)
+    graph_maps = _parse_graph_maps(g, node)
+
+    out: list[PredicateObjectMap] = []
+
+    def _emit(object_map, parent=None, joins=None, lt_node=None):
+        lt = lt_node if lt_node is not None else pom_lt_node
+        for pred in preds:
+            for graph_map in graph_maps:
+                out.append(
+                    PredicateObjectMap(
+                        predicate=pred,
+                        object=object_map,
+                        parent_triples_map=parent,
+                        join_conditions=list(joins) if joins else [],
+                        logical_target=_parse_logical_target(g, lt) if lt is not None else None,
+                        graph_map=graph_map,
+                    )
+                )
+
+    # rr:object constant shortcut (R2RML §6.3): equivalent to an
+    # objectMap with rr:constant — IRI node => IRI term, literal
+    # node => literal term (which keeps its own tag/type: rr:object "x"@en)
+    for o in g.objects(node, voc.RR_OBJECT):
+        _emit(
+            TermMap(
                 constant=o.value,
                 constant_is_iri=(o.kind == "iri"),
-                # literal shortcut keeps its own tag/type (rr:object "x"@en)
                 language=o.lang,
                 datatype=o.datatype,
-            ),
-            logical_target=_parse_logical_target(g, lt_node) if lt_node is not None else None,
-            graph_map=_parse_graph_map(g, node),
+            )
         )
-    # rml:logicalTarget on the POM or its object map (broader RML-target
-    # surface than the subject-map-only reference fixtures): routes this
-    # POM's quads to the union of subject target + this target
-    lt_node = g.object(node, voc.RML_LOGICAL_TARGET) or g.object(obj_node, voc.RML_LOGICAL_TARGET)
-    logical_target = _parse_logical_target(g, lt_node) if lt_node is not None else None
-    parent = g.object(obj_node, voc.RR_PARENT_TRIPLES_MAP)
-    if parent is not None:
-        joins: list[JoinCondition] = []
-        for jc_node in g.objects(obj_node, voc.RML_JOIN_CONDITION):
-            fn_value = g.object(jc_node, voc.FNML_FUNCTION_VALUE)
-            if fn_value is None:
-                raise MappingParseError("joinCondition without functionValue")
-            fn = _parse_function(g, fn_value)
-            if not fn.function_iri.endswith("equal"):
-                raise MappingParseError(f"unsupported join function {fn.function_iri}")
-            child = fn.params.get(voc.GREL_VALUE_PARAMETER)
-            parent_tm = fn.params.get(voc.GREL_VALUE_PARAMETER2)
-            if child is None or parent_tm is None:
-                raise MappingParseError("join condition needs valueParameter + valueParameter2")
-            parent_tm.datatype = None  # clear marker
-            joins.append(JoinCondition(child=child, parent=parent_tm))
-        return PredicateObjectMap(
-            predicate=pred,
-            object=None,
-            parent_triples_map=parent.value,
-            join_conditions=joins,
-            logical_target=logical_target,
-            graph_map=_parse_graph_map(g, node),
-        )
-    return PredicateObjectMap(
-        predicate=pred,
-        object=_parse_term_map(g, obj_node),
-        logical_target=logical_target,
-        graph_map=_parse_graph_map(g, node),
-    )
+    for obj_node in g.objects(node, voc.RR_OBJECT_MAP):
+        # rml:logicalTarget on the POM or its object map (broader
+        # RML-target surface than the subject-map-only reference
+        # fixtures): routes this POM's quads to the union of subject
+        # target + this target
+        lt_node = pom_lt_node or g.object(obj_node, voc.RML_LOGICAL_TARGET)
+        parent = g.object(obj_node, voc.RR_PARENT_TRIPLES_MAP)
+        if parent is not None:
+            joins: list[JoinCondition] = []
+            for jc_node in g.objects(obj_node, voc.RML_JOIN_CONDITION):
+                fn_value = g.object(jc_node, voc.FNML_FUNCTION_VALUE)
+                if fn_value is None:
+                    raise MappingParseError("joinCondition without functionValue")
+                fn = _parse_function(g, fn_value)
+                if not fn.function_iri.endswith("equal"):
+                    raise MappingParseError(f"unsupported join function {fn.function_iri}")
+                child = fn.params.get(voc.GREL_VALUE_PARAMETER)
+                parent_tm = fn.params.get(voc.GREL_VALUE_PARAMETER2)
+                if child is None or parent_tm is None:
+                    raise MappingParseError("join condition needs valueParameter + valueParameter2")
+                parent_tm.datatype = None  # clear marker
+                joins.append(JoinCondition(child=child, parent=parent_tm))
+            _emit(None, parent=parent.value, joins=joins, lt_node=lt_node)
+        else:
+            _emit(_parse_term_map(g, obj_node), lt_node=lt_node)
+    if not out:
+        raise MappingParseError("PredicateObjectMap without objectMap")
+    return out
 
 
 def parse_mapping(turtle_text: str, source_bindings: dict[str, str] | None = None, add_prefixes: bool = True) -> MappingPlan:
@@ -440,32 +486,47 @@ def plan_from_graph(g: Graph, source_bindings: dict[str, str] | None = None) -> 
                         term_map=TermMap(constant=s_const.value, constant_is_iri=True)
                     ),
                     predicate_object_maps=[
-                        _parse_pom(g, p) for p in g.objects(tm_node, voc.RR_PREDICATE_OBJECT_MAP)
+                        pom
+                        for p in g.objects(tm_node, voc.RR_PREDICATE_OBJECT_MAP)
+                        for pom in _parse_poms(g, p)
                     ],
                 )
             )
             continue
         stm = _parse_term_map(g, sm_node)
         classes = [c.value for c in g.objects(sm_node, voc.RR_CLASS)]
-        graph_map = _parse_graph_map(g, sm_node)
+        graph_maps = _parse_graph_maps(g, sm_node)
         lt_node = g.object(sm_node, voc.RML_LOGICAL_TARGET)
         logical_target = _parse_logical_target(g, lt_node) if lt_node is not None else None
-        poms = [_parse_pom(g, p) for p in g.objects(tm_node, voc.RR_PREDICATE_OBJECT_MAP)]
+        poms = [
+            pom
+            for p in g.objects(tm_node, voc.RR_PREDICATE_OBJECT_MAP)
+            for pom in _parse_poms(g, p)
+        ]
         label = g.object(tm_node, voc.RDFS + "label")
-        tms.append(
-            TriplesMap(
-                name=_term_name(tm_node),
-                logical_source=ls,
-                subject_map=SubjectMap(
-                    term_map=stm,
-                    classes=classes,
-                    graph_map=graph_map,
-                    logical_target=logical_target,
-                ),
-                predicate_object_maps=poms,
-                label=label.value if label else None,
+        # multiple SUBJECT graph maps (R2RML §9): one TriplesMap copy per
+        # graph — union + set-dedupe reproduces "every triple in every
+        # subject graph" with a single-graph executor (the same expansion
+        # the YARRRML front-end does for its graphs: lists). The FIRST
+        # copy keeps the original name so rr:parentTriplesMap references
+        # still resolve; parent graph maps never affect child quads
+        # (§11.1: a ref-object-map triple lands in the CHILD's graphs),
+        # so joining against copy 1 alone is exact.
+        for gidx, graph_map in enumerate(graph_maps):
+            tms.append(
+                TriplesMap(
+                    name=_term_name(tm_node) + (f"__graph{gidx + 1}" if gidx else ""),
+                    logical_source=ls,
+                    subject_map=SubjectMap(
+                        term_map=stm,
+                        classes=classes,
+                        graph_map=graph_map,
+                        logical_target=logical_target,
+                    ),
+                    predicate_object_maps=poms,
+                    label=label.value if label else None,
+                )
             )
-        )
     if not tms:
         raise MappingParseError("mapping document contains no TriplesMap")
     return MappingPlan(triples_maps=tms, source_bindings=bindings)

@@ -37,12 +37,15 @@ def _escape_ctrl(col: Column) -> Column:
 
 
 def _escape_literal(col: Column) -> Column:
-    # N-Triples literal escaping: backslash, quote, newline, CR, tab.
-    out = F.regexp_replace(col, r"\\", r"\\\\")
-    out = F.regexp_replace(out, '"', '\\\\"')
-    out = F.regexp_replace(out, "\n", "\\\\n")
-    out = F.regexp_replace(out, "\r", "\\\\r")
-    out = F.regexp_replace(out, "\t", "\\\\t")
+    # N-Triples literal escaping: backslash, quote, newline, CR, tab —
+    # all FIXED patterns, so literal StringReplace (no per-row regex
+    # machinery; same reasoning as _escape_ctrl, r7: the regexp_replace
+    # chain measured 3-4x slower over 8M literals, identical output).
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
     # remaining C0 controls -> \u00XX (canonical N-Triples). The gate
     # tests the RAW column (the class excludes \t\n\r, which are the
     # only controls the chain above rewrites, so raw and escaped agree)
@@ -246,7 +249,19 @@ def _unescape_literal(col: Column) -> Column:
     re-scanned, so sentinel collisions are impossible by construction.
     A raw \x01 in the input data (legal, if bizarre) survives: tokens
     not shaped like a wrapped escape restore their separator. Gated on
-    one contains() so escape-free literals pay a single scan."""
+    one contains() so escape-free literals pay a single scan.
+
+    Codegen exception, measured (tools/bench_unescape.py, 4M lines,
+    local[32]): transform() is a higher-order function (CodegenFallback)
+    — the repo rule says avoid it — but the contains() gate means the
+    HOF branch only EVALUATES for backslash-bearing literals, and the
+    full reader on escape-free data runs at the identity-stub ceiling
+    (3.38 s vs 3.46 s stubbed, i.e. 0% presence overhead, ~1.2M
+    lines/s); with 50% of literals escaped the decode path costs +18%.
+    This is a re-ingest path, not the export hot path; the bounded
+    F.replace-cascade alternative cannot express UCHAR surrogate math
+    without a second regex pass over every row, which costs MORE on the
+    dominant escape-free corpus. Keeping the HOF is the measured win."""
     marked = F.regexp_replace(col, _ESCAPE_RX, "\x01$0\x02")
     parts = F.split(marked, "\x01")
 

@@ -526,6 +526,128 @@ ex:sport a rr:TriplesMap ;
             (EX + "3", "IRI", "http://example.org/v", "20.0", "Literal", XSD + "string", None, None),
         },
     ),
+    (
+        "RMLTC0003-multi-predicate-theme",
+        "multiple rr:predicate values on one POM each yield a triple (R2RML §6.3)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name, ex:alias ; "
+            'rr:objectMap [ rml:reference "Name" ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        {
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, None),
+            (EX + "10", "IRI", "http://example.org/alias", "Venus", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0012-pair-crossproduct-theme",
+        "m predicate maps x n object maps generate one triple per pair",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name, ex:alias ; "
+            'rr:objectMap [ rml:reference "Name" ], [ rr:template "{Name} ({Id})" ; rr:termType rr:Literal ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        {
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, None),
+            (EX + "10", "IRI", "http://example.org/alias", "Venus", "Literal", None, None, None),
+            (EX + "10", "IRI", FOAF + "name", "Venus (10)", "Literal", None, None, None),
+            (EX + "10", "IRI", "http://example.org/alias", "Venus (10)", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0005-multi-predicate-join-theme",
+        "multiple predicates expand across a referencing object map too",
+        f"""
+ex:student a rr:TriplesMap ;
+  {_LS_JSON} ;
+  rr:subjectMap [ rr:template "http://example.com/{{Id}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:plays, ex:practices ;
+    rr:objectMap [
+      rr:parentTriplesMap ex:sport ;
+      rml:joinCondition [ fnml:functionValue [
+        rr:predicateObjectMap [ rr:predicate fno:executes ; rr:objectMap [ rr:constant <http://users.ugent.be/~bjdmeest/function/grel.ttl#equal> ] ] ;
+        rr:predicateObjectMap [ rr:predicate grel:valueParameter ; rr:objectMap [ rml:reference "Sport" ] ] ;
+        rr:predicateObjectMap [ rr:predicate grel:valueParameter2 ; rr:objectMap [ rr:parentTermMap [ rml:reference "ID" ] ] ]
+      ] ]
+    ]
+  ] .
+ex:sport a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "s.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://example.com/sport/{{ID}}" ] .
+""",
+        {
+            "d.json": "inline:" + '[{"Id": "10", "Sport": "100"}]',
+            "s.json": "inline:" + '[{"ID": "100", "Label": "Tennis"}]',
+        },
+        {
+            (EX + "10", "IRI", "http://example.org/plays", EX + "sport/100", "IRI", None, None, None),
+            (EX + "10", "IRI", "http://example.org/practices", EX + "sport/100", "IRI", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0007h-multi-graph-theme",
+        "multiple graph maps: class triples in every subject graph; POM"
+        " triples in the union of subject graphs and POM graphs (R2RML §9)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ; rr:class foaf:Person ;\n'
+            "      rr:graphMap [ rr:constant ex:g1 ] ; rr:graph ex:g2 ] ;\n"
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; "
+            'rr:objectMap [ rml:reference "Name" ] ; rr:graph ex:h1 ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        {
+            (EX + "10", "IRI", RDF_TYPE, FOAF + "Person", "IRI", None, None, "http://example.org/g1"),
+            (EX + "10", "IRI", RDF_TYPE, FOAF + "Person", "IRI", None, None, "http://example.org/g2"),
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, "http://example.org/g1"),
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, "http://example.org/g2"),
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, "http://example.org/h1"),
+        },
+    ),
+    (
+        "RMLTC0007i-default-plus-named-theme",
+        "rr:graph ex:g1, rr:defaultGraph on a POM: the quad lands in g1 AND the default graph",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; "
+            'rr:objectMap [ rml:reference "Name" ] ; rr:graph ex:g1, rr:defaultGraph ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        {
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, "http://example.org/g1"),
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0015b-invalid-language-theme",
+        "an invalid constant rr:language tag is a mapping error (RMLMapper raises)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:label ; "
+            'rr:objectMap [ rml:reference "Name" ; rr:language "english-USA-x-" ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}]'},
+        "MappingParseError",
+    ),
+    (
+        "RMLTC0015-languageMap-invalid-theme",
+        "a data-derived language tag outside the LANGTAG grammar is a data error: quad dropped",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:label ; "
+            'rr:objectMap [ rml:reference "Name" ; rml:languageMap [ rml:reference "L" ] ] ]'
+        ),
+        {
+            "d.json": "inline:"
+            + '[{"Id": "10", "Name": "Venus", "L": "en-US"},'
+            ' {"Id": "11", "Name": "Serena", "L": "not a tag!"}]'
+        },
+        {
+            (EX + "10", "IRI", "http://example.org/label", "Venus", "Literal", None, "en-US", None),
+        },
+    ),
 ]
 
 
@@ -540,6 +662,12 @@ def _quads(df):
 @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
 def test_conformance_case(spark, case):
     case_id, theme, mapping, sources, expected = case
+    if expected == "MappingParseError":
+        from rml_utils_processor_ts_spark.plans.rml_parser import MappingParseError
+
+        with pytest.raises(MappingParseError):
+            execute_mapping(spark, mapping, sources)
+        return
     res = execute_mapping(spark, mapping, sources)
     assert _quads(res.triples) == expected, f"{case_id}: {theme}"
 
