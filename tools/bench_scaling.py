@@ -90,7 +90,7 @@ def run_level(cpus: int, pages_path: str, n_pages: int) -> dict:
         "n_pages": n_pages,
     }
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
     if out.returncode != 0:
         raise RuntimeError(f"level {cpus} failed: {out.stderr[-2000:]}")
