@@ -840,15 +840,34 @@ class PlanExecutor:
         parent_tm = by_name.get(pom.parent_triples_map)
         if parent_tm is None:
             raise ValueError(f"parentTriplesMap {pom.parent_triples_map} not found")
-        parent_refs = parent_tm.subject_map.term_map.references() + [
-            r for jc in pom.join_conditions for r in jc.parent.references()
-        ]
-        parent_records = self._records(parent_tm.logical_source, parent_refs)
-        parent_resolve = _resolver(set(parent_records.columns))
-        parent_subject = compile_term_map(parent_tm.subject_map.term_map, parent_resolve, "subject")
+        # R2RML §11: a referencing object map WITHOUT join conditions is
+        # only valid when child and parent share the same logical source,
+        # and means SAME-ROW evaluation (the joint query degenerates to
+        # the child table itself) — the parent subject compiles directly
+        # onto the child row: no join, no second scan, and never the
+        # cross join that a condition-less DataFrame join would produce
+        # (a scale hazard at web corpus sizes, not just a wrong answer).
+        same_row = not pom.join_conditions
+        if same_row:
+            if parent_tm.logical_source != tm.logical_source:
+                raise ValueError(
+                    "referencing object map without rml:joinCondition requires "
+                    f"identical logical sources (R2RML §11): {tm.name} -> {parent_tm.name}"
+                )
+            parent_subject_child = compile_term_map(
+                parent_tm.subject_map.term_map, resolve, "subject"
+            )
+            join_exprs_child = []
+        else:
+            parent_refs = parent_tm.subject_map.term_map.references() + [
+                r for jc in pom.join_conditions for r in jc.parent.references()
+            ]
+            parent_records = self._records(parent_tm.logical_source, parent_refs)
+            parent_resolve = _resolver(set(parent_records.columns))
+            parent_subject = compile_term_map(parent_tm.subject_map.term_map, parent_resolve, "subject")
 
-        join_exprs_child = [compile_term_map(jc.child, resolve, "value") for jc in pom.join_conditions]
-        join_exprs_parent = [compile_term_map(jc.parent, parent_resolve, "value") for jc in pom.join_conditions]
+            join_exprs_child = [compile_term_map(jc.child, resolve, "value") for jc in pom.join_conditions]
+            join_exprs_parent = [compile_term_map(jc.parent, parent_resolve, "value") for jc in pom.join_conditions]
 
         # predicate/graph may be reference- or template-valued: they read
         # record columns, so they must be computed INTO the child side
@@ -867,6 +886,7 @@ class PlanExecutor:
         child_side = child_base.select(
             F.col("__s").alias("s"),
             pred.alias("__p"),
+            *([parent_subject_child.alias("__po")] if same_row else []),
             *[g.alias(f"__g{i}") for i, g in enumerate(graph_cols)],
             *[e.alias(f"__ck{i}") for i, e in enumerate(join_exprs_child)],
         )
@@ -897,19 +917,22 @@ class PlanExecutor:
                 .filter(~(F.col("__gs.pgflag") & F.col("__gs.g").isNull()))
                 .withColumn("__g", F.col("__gs.g"))
             )
-        parent_side = parent_records.select(
-            parent_subject.alias("__po"),
-            *[e.alias(f"__pk{i}") for i, e in enumerate(join_exprs_parent)],
-        ).filter(F.col("__po").isNotNull()).dropDuplicates()
-
-        cond = None
-        for i in range(len(pom.join_conditions)):
-            c = F.col(f"__ck{i}") == F.col(f"__pk{i}")
-            cond = c if cond is None else (cond & c)
-
         s_ttype = effective_term_type(tm.subject_map.term_map, "subject")
         o_ttype = effective_term_type(parent_tm.subject_map.term_map, "subject")
-        joined = child_side.join(parent_side, cond, "inner")
+        if same_row:
+            joined = child_side.filter(F.col("__po").isNotNull())
+        else:
+            parent_side = parent_records.select(
+                parent_subject.alias("__po"),
+                *[e.alias(f"__pk{i}") for i, e in enumerate(join_exprs_parent)],
+            ).filter(F.col("__po").isNotNull()).dropDuplicates()
+
+            cond = None
+            for i in range(len(pom.join_conditions)):
+                c = F.col(f"__ck{i}") == F.col(f"__pk{i}")
+                cond = c if cond is None else (cond & c)
+
+            joined = child_side.join(parent_side, cond, "inner")
         targets = [target_id] if isinstance(target_id, str) else target_id
         tcol = (
             F.lit(targets[0])

@@ -588,6 +588,27 @@ ex:sport a rr:TriplesMap ;
         },
     ),
     (
+        "RMLTC0011-nojoin-same-source-theme",
+        "referencing object map WITHOUT join condition: same logical"
+        " source required, parent subject evaluates on the SAME row"
+        " (R2RML §11 joint-query degeneration — no join, no cross product)",
+        f"""
+ex:student a rr:TriplesMap ;
+  {_LS_JSON} ;
+  rr:subjectMap [ rr:template "http://example.com/student/{{Id}}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:sameAs ;
+    rr:objectMap [ rr:parentTriplesMap ex:person ] ] .
+ex:person a rr:TriplesMap ;
+  {_LS_JSON} ;
+  rr:subjectMap [ rr:template "http://example.com/person/{{Id}}" ] .
+""",
+        {"d.json": "inline:" + '[{"Id": "10"}, {"Id": "11"}]'},
+        {
+            (EX + "student/10", "IRI", "http://example.org/sameAs", EX + "person/10", "IRI", None, None, None),
+            (EX + "student/11", "IRI", "http://example.org/sameAs", EX + "person/11", "IRI", None, None, None),
+        },
+    ),
+    (
         "RMLTC0007h-multi-graph-theme",
         "multiple graph maps: class triples in every subject graph; POM"
         " triples in the union of subject graphs and POM graphs (R2RML §9)",

@@ -264,3 +264,47 @@ ex:m a rr:TriplesMap ;
     assert "CodegenFallback" not in plan
     # and the transform is actually active
     assert [r["o"] for r in res.triples.collect()] == ["2.0E1"]
+
+
+def test_nojoin_refobjmap_different_sources_raises(spark):
+    """R2RML §11: a referencing object map without join conditions is
+    only valid over identical logical sources — different sources must
+    raise, never silently cross-join (r7; the DataFrame join with a
+    None condition would otherwise produce a cartesian product)."""
+    import pytest as _pytest
+
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+    m = """
+ex:a a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://ex.org/a/{Id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:p ; rr:objectMap [ rr:parentTriplesMap ex:b ] ] .
+ex:b a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "e.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://ex.org/b/{Id}" ] .
+"""
+    with _pytest.raises(ValueError, match="identical logical sources"):
+        execute_mapping(
+            spark, m,
+            {"d.json": 'inline:[{"Id": "1"}]', "e.json": 'inline:[{"Id": "2"}]'},
+        ).triples.collect()
+
+
+def test_nojoin_refobjmap_plan_has_no_join(spark):
+    """The same-row path must compile to a join-free plan (scale
+    contract: no shuffle, no cross product)."""
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+    m = """
+ex:a a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://ex.org/a/{Id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:p ; rr:objectMap [ rr:parentTriplesMap ex:b ] ] .
+ex:b a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://ex.org/b/{Id}" ] .
+"""
+    res = execute_mapping(spark, m, {"d.json": 'inline:[{"Id": "1"}]'})
+    plan = res.triples._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
