@@ -55,6 +55,38 @@ def test_template_parts_reconstruct(pieces):
     assert refs == [ref for _, ref in pieces]
 
 
+raw_lit = st.text(alphabet="xy{}\\:/. ", min_size=0, max_size=8)
+
+
+def _tpl_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
+
+
+@given(st.lists(st.tuples(raw_lit, ref_name), min_size=1, max_size=4), raw_lit)
+@settings(max_examples=300, deadline=None)
+def test_template_parts_escape_grammar(pieces, tail):
+    """r7 escape grammar (R2RML §7.3): \\{ \\} \\\\ in the template text
+    decode to literal { } \\ and never open placeholders — fuzz over
+    literals CONTAINING braces/backslashes, round-tripped through the
+    escaped template form."""
+    template = "".join(f"{_tpl_escape(lit)}{{{ref}}}" for lit, ref in pieces) + _tpl_escape(tail)
+    parts = template_parts(template)
+    refs = [v for k, v in parts if k == "ref"]
+    assert refs == [ref for _, ref in pieces]
+    # reassemble the decoded literal stream and compare to the raw text
+    decoded = []
+    it = iter(parts)
+    for lit, _ref in pieces:
+        got = ""
+        for k, v in it:
+            if k == "ref":
+                break
+            got += v
+        decoded.append(got)
+    decoded.append("".join(v for k, v in it if k == "lit"))
+    assert decoded == [lit for lit, _ in pieces] + [tail]
+
+
 # -- concat-reference decomposition -------------------------------------------
 
 @given(st.lists(st.tuples(st.text(alphabet="pq=&", max_size=6), ref_name), min_size=1, max_size=4))
