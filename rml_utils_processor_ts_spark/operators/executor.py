@@ -255,6 +255,28 @@ def _obj_struct(
     return F.struct(*fields)
 
 
+def _group_join_poms(
+    join_poms: list[PredicateObjectMap],
+) -> list[list[PredicateObjectMap]]:
+    """Group referencing object maps by (parentTriplesMap, join
+    conditions) — dataclass equality, order preserved. Each group
+    compiles to ONE child×parent join (§6.3/§9 multi-predicate/
+    multi-graph expansion rides the join as a post-join explode);
+    distinct parents or conditions keep their own joins."""
+    groups: list[list[PredicateObjectMap]] = []
+    for pom in join_poms:
+        for grp in groups:
+            if (
+                grp[0].parent_triples_map == pom.parent_triples_map
+                and grp[0].join_conditions == pom.join_conditions
+            ):
+                grp.append(pom)
+                break
+        else:
+            groups.append([pom])
+    return groups
+
+
 class PlanExecutor:
     """Compile + run a MappingPlan on a SparkSession.
 
@@ -550,14 +572,15 @@ class PlanExecutor:
 
             for cls in tm.subject_map.classes:
                 quad_structs.append(quad(F.lit(voc.RDF_TYPE), F.lit(cls), "IRI"))
+            tm_join_poms = [
+                pom for pom in tm.predicate_object_maps if pom.parent_triples_map is not None
+            ]
+            if tm_join_poms:
+                base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
+                for grp in _group_join_poms(tm_join_poms):
+                    frames.append(self._join_pom(tm, grp, base, resolve, graph, by_name))
             for pom in tm.predicate_object_maps:
                 if pom.parent_triples_map is not None:
-                    base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
-                    frames.append(
-                        self._join_pom(
-                            tm, pom, base, resolve, graph, self._pom_target_ids(tm, pom), by_name
-                        )
-                    )
                     continue
                 pred = compile_term_map(pom.predicate, resolve, "predicate")
                 obj = _compile_object(pom.object, resolve)
@@ -815,28 +838,35 @@ class PlanExecutor:
             )
             frames.append(exploded)
 
-        for pom in join_poms:
-            frames.append(
-                self._join_pom(tm, pom, base, resolve, graph, self._pom_target_ids(tm, pom), by_name)
-            )
+        for grp in _group_join_poms(join_poms):
+            frames.append(self._join_pom(tm, grp, base, resolve, graph, by_name))
 
         return frames, {}
 
     def _join_pom(
         self,
         tm: TriplesMap,
-        pom: PredicateObjectMap,
+        poms: list[PredicateObjectMap],
         child_base: DataFrame,
         resolve,
         graph: Column,
-        target_id: str | list[str],
         by_name: dict[str, TriplesMap],
     ) -> DataFrame:
-        """Referencing object map (B9): child.expr == parent.expr equi-join;
-        object = parent subject IRI. Join strategy left to Catalyst/AQE
-        (broadcast when the parent side is small, SMJ otherwise). A list
-        of target ids stamps the SAME join output once per target (one
-        join, exploded) — never one join per target."""
+        """Referencing object maps (B9) sharing (rr:parentTriplesMap, join
+        conditions): child.expr == parent.expr equi-join; object = parent
+        subject IRI. Join strategy left to Catalyst/AQE (broadcast when the
+        parent side is small, SMJ otherwise).
+
+        ALL §6.3/§9-expanded variants of the group — m predicates × k
+        graphs × t targets — ride ONE join: the per-variant (predicate,
+        graph, target) triple travels as an array<struct> payload column
+        on the child side and explodes AFTER the join, so the child×parent
+        relation is shuffled exactly once per distinct (parent, join
+        condition) pair instead of once per expanded POM copy (the
+        child sides of the copies differ only in projected columns, so
+        ReusedExchange could never collapse them). A single-variant group
+        compiles the scalar fast path with no generator at all."""
+        pom = poms[0]
         parent_tm = by_name.get(pom.parent_triples_map)
         if parent_tm is None:
             raise ValueError(f"parentTriplesMap {pom.parent_triples_map} not found")
@@ -873,49 +903,55 @@ class PlanExecutor:
         # record columns, so they must be computed INTO the child side
         # before projecting it down to (s, join keys) — evaluating them
         # after the join would reference columns no longer in scope.
-        pred = compile_term_map(pom.predicate, resolve, "predicate")
-        graph_cols = [graph]
-        pg_data_derived = False
-        if pom.graph_map is not None:
-            # R2RML §9 union: POM graph + subject graph(s)
-            pg = compile_term_map(pom.graph_map, resolve, "graph")
-            graph_cols = [graph, pg] if tm.subject_map.graph_map is not None else [pg]
-            # a data-derived POM graph evaluating null is a data error:
-            # its quad is dropped, never rerouted to the default graph
-            pg_data_derived = pom.graph_map.constant is None
-        child_side = child_base.select(
-            F.col("__s").alias("s"),
-            pred.alias("__p"),
-            *([parent_subject_child.alias("__po")] if same_row else []),
-            *[g.alias(f"__g{i}") for i, g in enumerate(graph_cols)],
-            *[e.alias(f"__ck{i}") for i, e in enumerate(join_exprs_child)],
-        )
-        if len(graph_cols) == 1:
-            child_side = child_side.withColumnRenamed("__g0", "__g")
-            if pg_data_derived:
+        # One payload entry per (POM variant, graph, target); pgflag marks
+        # a data-derived POM graph whose null evaluation is a data error —
+        # that quad is DROPPED, never rerouted to the default graph.
+        entries: list[tuple[Column, Column, bool, str]] = []
+        for p in poms:
+            pred = compile_term_map(p.predicate, resolve, "predicate")
+            gcols: list[tuple[Column, bool]] = [(graph, False)]
+            if p.graph_map is not None:
+                # R2RML §9 union: POM graph + subject graph(s)
+                pg = compile_term_map(p.graph_map, resolve, "graph")
+                pg_data_derived = p.graph_map.constant is None
+                gcols = (
+                    [(graph, False), (pg, pg_data_derived)]
+                    if tm.subject_map.graph_map is not None
+                    else [(pg, pg_data_derived)]
+                )
+            for gcol, pgflag in gcols:
+                for tid in self._pom_target_ids(tm, p):
+                    entries.append((pred, gcol, pgflag, tid))
+
+        scalar = len(entries) == 1
+        if scalar:
+            pred, gcol, pgflag, tid = entries[0]
+            child_side = child_base.select(
+                F.col("__s").alias("s"),
+                pred.alias("__p"),
+                *([parent_subject_child.alias("__po")] if same_row else []),
+                gcol.alias("__g"),
+                *[e.alias(f"__ck{i}") for i, e in enumerate(join_exprs_child)],
+            )
+            if pgflag:
                 child_side = child_side.filter(F.col("__g").isNotNull())
         else:
-            # separate projection: the final select may already hold a
-            # target-id explode, and one select allows only one generator.
-            # The POM-graph copy (index 1) carries a drop-on-null flag so
-            # a null POM graph kills only ITS quad, not the subject-graph
-            # twin (struct+filter stays in whole-stage codegen; a HOF
-            # array filter would not).
-            child_side = (
-                child_side.withColumn(
-                    "__gs",
-                    F.explode(
-                        F.array(
-                            F.struct(F.col("__g0").alias("g"), F.lit(False).alias("pgflag")),
-                            F.struct(
-                                F.col("__g1").alias("g"),
-                                F.lit(pg_data_derived).alias("pgflag"),
-                            ),
-                        )
-                    ),
-                )
-                .filter(~(F.col("__gs.pgflag") & F.col("__gs.g").isNull()))
-                .withColumn("__g", F.col("__gs.g"))
+            payload = F.array(
+                *[
+                    F.struct(
+                        pred.cast("string").alias("p"),
+                        gcol.cast("string").alias("g"),
+                        F.lit(pgflag).alias("pgflag"),
+                        F.lit(tid).alias("t"),
+                    )
+                    for pred, gcol, pgflag, tid in entries
+                ]
+            )
+            child_side = child_base.select(
+                F.col("__s").alias("s"),
+                *([parent_subject_child.alias("__po")] if same_row else []),
+                payload.alias("__poms"),
+                *[e.alias(f"__ck{i}") for i, e in enumerate(join_exprs_child)],
             )
         s_ttype = effective_term_type(tm.subject_map.term_map, "subject")
         o_ttype = effective_term_type(parent_tm.subject_map.term_map, "subject")
@@ -928,27 +964,27 @@ class PlanExecutor:
             ).filter(F.col("__po").isNotNull()).dropDuplicates()
 
             cond = None
-            for i in range(len(pom.join_conditions)):
+            for i in range(len(poms[0].join_conditions)):
                 c = F.col(f"__ck{i}") == F.col(f"__pk{i}")
                 cond = c if cond is None else (cond & c)
 
             joined = child_side.join(parent_side, cond, "inner")
-        targets = [target_id] if isinstance(target_id, str) else target_id
-        tcol = (
-            F.lit(targets[0])
-            if len(targets) == 1
-            else F.explode(F.array(*[F.lit(t) for t in targets]))
-        )
+        if not scalar:
+            # post-join variant explode: struct+filter stays in
+            # whole-stage codegen (a HOF array filter would not)
+            joined = joined.withColumn("__pom", F.explode(F.col("__poms"))).filter(
+                ~(F.col("__pom.pgflag") & F.col("__pom.g").isNull())
+            )
         return joined.select(
             F.col("s"),
             F.lit(s_ttype).alias("s_termtype"),
-            F.col("__p").alias("p"),
+            (F.col("__p") if scalar else F.col("__pom.p")).alias("p"),
             F.col("__po").alias("o"),
             F.lit(o_ttype).alias("o_termtype"),
             F.lit(None).cast("string").alias("o_datatype"),
             F.lit(None).cast("string").alias("o_lang"),
-            F.col("__g").alias("g"),
-            tcol.alias("target_id"),
+            (F.col("__g") if scalar else F.col("__pom.g")).alias("g"),
+            (F.lit(tid) if scalar else F.col("__pom.t")).alias("target_id"),
         )
 
 

@@ -442,6 +442,22 @@ def _parse_poms(g: Graph, node: Term) -> list[PredicateObjectMap]:
                     raise MappingParseError("join condition needs valueParameter + valueParameter2")
                 parent_tm.datatype = None  # clear marker
                 joins.append(JoinCondition(child=child, parent=parent_tm))
+            # plain R2RML §11 syntax: rr:joinCondition [ rr:child "c" ;
+            # rr:parent "p" ] — child/parent are reference expressions
+            # against the child/parent logical sources (official suite
+            # RMLTC0008b..0012 use this form; the reference's own
+            # fixtures use the FNML equal() form parsed above)
+            for jc_node in g.objects(obj_node, voc.RR_JOIN_CONDITION):
+                child_ref = g.object(jc_node, voc.RR_CHILD)
+                parent_ref = g.object(jc_node, voc.RR_PARENT)
+                if child_ref is None or parent_ref is None:
+                    raise MappingParseError("rr:joinCondition needs rr:child + rr:parent")
+                joins.append(
+                    JoinCondition(
+                        child=TermMap(reference=child_ref.value),
+                        parent=TermMap(reference=parent_ref.value),
+                    )
+                )
             _emit(None, parent=parent.value, joins=joins, lt_node=lt_node)
         else:
             _emit(_parse_term_map(g, obj_node), lt_node=lt_node)

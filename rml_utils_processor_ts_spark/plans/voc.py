@@ -72,6 +72,11 @@ RR_CLASS = RR + "class"
 RR_GRAPH_MAP = RR + "graphMap"
 RR_PARENT_TRIPLES_MAP = RR + "parentTriplesMap"
 RR_PARENT_TERM_MAP = RR + "parentTermMap"
+# plain R2RML §11 join-condition form (official kg-construct suite);
+# the FNML idlab-fn:equal form the reference fixtures use is parsed too
+RR_JOIN_CONDITION = RR + "joinCondition"
+RR_CHILD = RR + "child"
+RR_PARENT = RR + "parent"
 RR_IRI = RR + "IRI"
 RR_LITERAL = RR + "Literal"
 RR_BLANK_NODE = RR + "BlankNode"
