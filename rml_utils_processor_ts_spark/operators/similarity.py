@@ -258,7 +258,14 @@ def _publish_index_once(path: str, build_fn) -> bool:
             os.rename(tmp, path)
             return True
         except OSError:
-            return False  # concurrent winner published first — use theirs
+            # a failed rename is only benign when a concurrent winner
+            # actually published — otherwise (permissions, read-only
+            # base dir) no index exists at `path` and swallowing the
+            # error would surface later as a confusing missing-file
+            # read far from the cause: re-raise here instead
+            if _ready(path):
+                return False
+            raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -132,9 +132,14 @@ def _parse_graph_maps(g: Graph, node: Term) -> list[TermMap | None]:
         )
     if not out:
         return [None]
+    # R2RML §9 is SET semantics: identical graph maps (rr:graphMap +
+    # rr:graph naming the same constant IRI, or repeated defaultGraph
+    # spellings) must not multiply the expansion — with
+    # PlanExecutor(dedupe=False) each copy would re-emit its quads
+    # (dataclass equality covers constant/reference/template forms)
     deduped: list[TermMap | None] = []
     for gm in out:
-        if gm is None and None in deduped:
+        if gm in deduped:
             continue
         deduped.append(gm)
     return deduped

@@ -41,13 +41,21 @@ _FORMULATION_IRI = {
 
 def _lit(s: str) -> str:
     """Turtle literal — long form when the value contains newlines or
-    double quotes (how rml:query SQL survives unescaped)."""
-    if "\n" in s or '"' in s:
+    double quotes (how rml:query SQL survives unescaped). A carriage
+    return is grammatically illegal raw inside a single-line quoted
+    literal (STRING_LITERAL_QUOTE excludes #xD), so any \\r forces the
+    fully-escaped short form with \\r ECHAR'd."""
+    if "\n" in s or '"' in s or "\r" in s:
         # a backslash in long form would still ECHAR-decode on re-parse,
         # so backslash-bearing values take the fully-escaped short form
-        if '"""' not in s and not s.endswith('"') and "\\" not in s:
+        if '"""' not in s and not s.endswith('"') and "\\" not in s and "\r" not in s:
             return f'"""{s}"""'
-        body = s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        body = (
+            s.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
         return f'"{body}"'
     return '"' + s.replace("\\", "\\\\") + '"'
 

@@ -144,8 +144,30 @@ def _xpath_substring(v: str, start: float, length: float | None) -> str:
     return "".join(ch for i, ch in enumerate(v, 1) if i >= s and i < e)
 
 
+def _mask_quoted(path: str) -> str:
+    """Replace quoted spans (including the quotes) with \\x00 filler of
+    the same length, so substring marker checks can never fire on text
+    INSIDE a comparison value — item[@v='black and white'] must not be
+    routed to the restricted extension walker by its literal ' and '."""
+    out: list[str] = []
+    quote = None
+    for ch in path:
+        if quote:
+            out.append("\x00")
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            out.append("\x00")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def has_extended_syntax(path: str) -> bool:
-    return any(m in path for m in _EXT_MARKERS) or bool(split_union(path))
+    masked = _mask_quoted(path)
+    return any(m in masked for m in _EXT_MARKERS) or bool(split_union(path))
 
 
 def split_union(path: str) -> list[str] | None:

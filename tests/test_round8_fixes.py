@@ -143,3 +143,158 @@ ex:b a rr:TriplesMap ;
         ("http://ex.org/a/1", "http://ex.org/g1"),
         ("http://ex.org/a/2", "http://example.com/gs"),
     }
+
+
+# ---- ADVICE r7 low-severity fixes ----------------------------------------
+
+
+def test_duplicate_graph_maps_deduped_at_parse_time():
+    """rr:graphMap + rr:graph naming the SAME IRI must not multiply the
+    plan expansion (R2RML §9 set semantics must survive dedupe=False)."""
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+
+    m = """
+ex:a a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://ex.org/a/{Id}" ;
+                  rr:graphMap [ rr:constant ex:g1 ] ; rr:graph ex:g1 ] ;
+  rr:predicateObjectMap [ rr:predicate ex:p ; rr:objectMap [ rml:reference "Id" ] ] .
+"""
+    plan = parse_mapping(m)
+    # one graph -> exactly one expanded TriplesMap copy
+    assert len(plan.triples_maps) == 1
+    gm = plan.triples_maps[0].subject_map.graph_map
+    assert gm is not None and gm.constant == "http://example.org/g1"
+
+
+def test_duplicate_graph_quads_unique_with_dedupe_off(spark):
+    from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+
+    m = """
+ex:a a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://ex.org/a/{Id}" ;
+                  rr:graphMap [ rr:constant ex:g1 ] ; rr:graph ex:g1 ] ;
+  rr:predicateObjectMap [ rr:predicate ex:p ; rr:objectMap [ rml:reference "Id" ] ] .
+"""
+    plan = parse_mapping(m, {"d.json": 'inline:[{"Id": "1"}]'})
+    rows = PlanExecutor(spark, dedupe=False).execute(plan).triples.collect()
+    quads = [(r.s, r.p, r.o, r.g) for r in rows]
+    assert len(quads) == len(set(quads)) == 1
+
+
+def test_serializer_lit_escapes_carriage_return():
+    """A raw \\r is illegal inside a single-line quoted Turtle literal;
+    _lit must escape it and the value must round-trip."""
+    from rml_utils_processor_ts_spark.plans.serializer import _lit
+    from rml_utils_processor_ts_spark.plans.turtle import parse_turtle
+
+    for v in ["a\rb", "a\r\nb", 'quote"\rmix', "\r", "tab\tkeeps\rworking"]:
+        emitted = _lit(v)
+        assert "\r" not in emitted, repr(emitted)
+        triples = parse_turtle(f"<http://x/s> <http://x/p> {emitted} .")
+        assert len(triples) == 1
+        assert triples[0][2].value == v, (repr(v), repr(emitted))
+
+
+def test_publish_index_rename_failure_reraises(tmp_path, monkeypatch):
+    """A failed final rename with NO published winner must re-raise, not
+    masquerade as 'concurrent winner' (ADVICE r7)."""
+    import os
+
+    import pytest as _pytest
+
+    from rml_utils_processor_ts_spark.operators import similarity as sim
+
+    path = str(tmp_path / "idx")
+
+    def build(tmp):
+        os.makedirs(tmp, exist_ok=True)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        raise OSError("read-only base dir")
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with _pytest.raises(OSError, match="read-only"):
+        sim._publish_index_once(path, build)
+
+    # concurrent-winner shape: rename fails BUT a ready index exists
+    def winner_rename(src, dst):
+        monkeypatch.setattr(os, "rename", real_rename)
+        os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, sim._INDEX_READY_MARKER), "w"):
+            pass
+        raise OSError("lost the race")
+
+    monkeypatch.setattr(os, "rename", winner_rename)
+    assert sim._publish_index_once(str(tmp_path / "idx2"), build) is False
+
+
+def test_xpath_markers_quote_aware():
+    """' and ' / ' or ' (and any marker) inside a quoted comparison value
+    must NOT route the path away from ElementTree (ADVICE r7)."""
+    from rml_utils_processor_ts_spark.sources.registry import _xml_findall
+    from rml_utils_processor_ts_spark.sources.xpath_ext import has_extended_syntax
+
+    assert not has_extended_syntax("//item[@v='black and white']")
+    assert not has_extended_syntax('//item[@v="to be or not"]')
+    assert not has_extended_syntax("//item[@v='contains( trap']")
+    assert has_extended_syntax("//item[@a='1' and @b='2']")
+    assert has_extended_syntax("//item[contains(@v, 'x')]")
+
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(
+        "<r><item v='black and white'>1</item><item v='plain'>2</item></r>"
+    )
+    got = _xml_findall(root, ".//item[@v='black and white']")
+    assert [e.text for e in got] == ["1"]
+
+
+def test_materialize_fast_path_is_default(spark, monkeypatch):
+    """VERDICT r7 #3: the plain localCheckpoint fast path must be what
+    normally runs — the RDD round-trip is exception-fallback only, so
+    a Spark that has outgrown the 4.1.2 AttributeMap crash never pays
+    the serde barrier."""
+    from rml_utils_processor_ts_spark.operators import cc
+
+    df = spark.range(10).withColumnRenamed("id", "u")
+    cls = type(df)  # concrete class (pyspark.sql.classic under Spark 4)
+    calls = {"n": 0}
+    real = cls.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", counting)
+    out = cc._materialize(df)
+    assert calls["n"] == 1  # no rebuild, no second checkpoint
+    assert sorted(r.u for r in out.collect()) == list(range(10))
+
+
+def test_materialize_falls_back_on_checkpoint_crash(spark, monkeypatch):
+    """When localCheckpoint raises (the 4.1.2 crash shape), _materialize
+    must recover via the RDD round-trip with identical data."""
+    from rml_utils_processor_ts_spark.operators import cc
+
+    df = spark.range(10).withColumnRenamed("id", "u")
+    cls = type(df)
+    calls = {"n": 0}
+    real = cls.localCheckpoint
+
+    def flaky(self, eager=True):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated AttributeMap crash")
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", flaky)
+    out = cc._materialize(df)
+    assert calls["n"] == 2
+    assert sorted(r.u for r in out.collect()) == list(range(10))
