@@ -1247,28 +1247,31 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {
         "kg_predicate_profile": q_kg_predicate_profile,
-        "kg_iri_audit": q_kg_iri_audit,
-        "kg_orphan_objects": q_kg_orphan_objects,
         "unigram_logprob": q_unigram_logprob,
-        # round-7 rotation (r6 VERDICT #5): the serialization/LDES twins
-        # get their first driver row since r4; the freed slots are
-        # long-stable queries whose kernels stay gated elsewhere —
-        # paragraph_dedup/url_normalize_dedup (exact-hash dedupe kernel:
-        # dedup_exact; URL parsing: domain_profile) and
-        # contamination_check (n-gram Jaccard kernel: dedup_ngram_jaccard)
-        "ntriples_lines": q_ntriples_lines,
-        "turtle_lines": q_turtle_lines,
-        "rml_ldes_base_iri": q_rml_ldes_base_iri,
+        # round-8 rotation (r7 VERDICT #5): the five never-driver-gated
+        # twins get their first driver rows — the four ANN variants
+        # (LSH/IVF, live + persisted-index) and md5 hash-sampling. The
+        # freed slots are queries that already banked green driver rows
+        # (ntriples/turtle/ldesBaseIRI in r7; kg_iri_audit and
+        # kg_orphan_objects in r6+r7) and whose kernels stay gated via
+        # siblings: nquads_lines drives the writer escape chain,
+        # rml_ldes_versioned the LDES machinery, kg_predicate_profile
+        # the KG-QA triple source.
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_index_topk": q_ann_lsh_index_topk,
+        "ann_ivf_index_topk": q_ann_ivf_index_topk,
+        "sample_by_hash": q_sample_by_hash,
     }
 )
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "sample_by_hash": q_sample_by_hash,
+    "ntriples_lines": q_ntriples_lines,
+    "turtle_lines": q_turtle_lines,
+    "rml_ldes_base_iri": q_rml_ldes_base_iri,
+    "kg_iri_audit": q_kg_iri_audit,
+    "kg_orphan_objects": q_kg_orphan_objects,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
-    "ann_lsh_index_topk": q_ann_lsh_index_topk,
-    "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "url_normalize_dedup": q_url_normalize_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,

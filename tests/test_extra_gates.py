@@ -69,7 +69,7 @@ def test_index_path_identical_to_base(spark, sf_dir, index_name, base_name):
     harness still oracle-checks every entry.)"""
     merged = {**entrymod.queries(), **entrymod.EXTRA_QUERIES}
     base = merged[base_name](spark, sf_dir)
-    idx = entrymod.EXTRA_QUERIES[index_name](spark, sf_dir)
+    idx = merged[index_name](spark, sf_dir)
     assert base.columns == idx.columns
     b = sorted(tuple(r) for r in base.collect())
     i = sorted(tuple(r) for r in idx.collect())
