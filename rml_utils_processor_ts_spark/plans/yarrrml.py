@@ -220,21 +220,38 @@ def _conditional_object(obj: TermMap, cond_spec: dict, prefixes: dict[str, str],
     return wrapped
 
 
-def _parse_po(entry, prefixes: dict[str, str], name: str) -> list[PredicateObjectMap]:
+def _parse_po(
+    entry,
+    prefixes: dict[str, str],
+    name: str,
+    doc_targets: dict[str, LogicalTarget] | None = None,
+) -> list[PredicateObjectMap]:
     """One po entry -> POMs. Per the yarrrml spec, ``p``/``o`` may each
     be a LIST (multiple predicates x multiple objects = their cartesian
     product of POMs — the @rmlio parser's expansion); the compact list
     form stays ``[p, o]`` / ``[p, o, datatype-or-lang]``, and a list in
     its object slot means multiple objects. ``condition:`` and
-    ``inversepredicates`` apply to every generated POM."""
+    ``inversepredicates`` apply to every generated POM. PO-level
+    ``targets:`` (also on an object dict) route the entry's quads to
+    each named document target — one POM copy per target, the same
+    per-target expansion the subject-level targets use; PO-level
+    ``graph``/``graphs`` put them in each named graph (§9 union with
+    the mapping graph, via PredicateObjectMap.graph_map)."""
     condition = None
     inverse_pred = None
+    po_target_names: list[str] = []
+    po_graph_vals: list = []
     if isinstance(entry, dict):
         preds = entry.get("p") or entry.get("predicate") or entry.get("predicates")
         objs = entry.get("o") or entry.get("object") or entry.get("objects")
         pred_vals = preds if isinstance(preds, list) else [preds]
         obj_vals = objs if isinstance(objs, list) else [objs]
         condition = entry.get("condition")
+        raw_t = entry.get("targets") or []
+        po_target_names = [raw_t] if isinstance(raw_t, str) else list(raw_t)
+        gv = entry.get("graph") or entry.get("graphs")
+        if gv is not None:
+            po_graph_vals = gv if isinstance(gv, list) else [gv]
         inv_val = entry.get("inversepredicates") or entry.get("inversepredicate")
         if inv_val is not None:
             if isinstance(inv_val, list):
@@ -260,9 +277,30 @@ def _parse_po(entry, prefixes: dict[str, str], name: str) -> list[PredicateObjec
         else:
             pred = TermMap(constant=_expand_prefixed(str(pred_val), prefixes), constant_is_iri=True)
         for obj_val in obj_vals:
-            out.append(
-                _build_pom(pred, pred_val, obj_val, condition, inverse_pred, prefixes, name)
-            )
+            target_names = list(po_target_names)
+            if isinstance(obj_val, dict) and obj_val.get("targets"):
+                raw = obj_val["targets"]
+                target_names += [raw] if isinstance(raw, str) else list(raw)
+                obj_val = {k: v for k, v in obj_val.items() if k != "targets"}
+            pom = _build_pom(pred, pred_val, obj_val, condition, inverse_pred, prefixes, name)
+            pom_targets: list[LogicalTarget | None] = [None]
+            if target_names:
+                resolved_targets = []
+                for tid in target_names:
+                    if not doc_targets or tid not in doc_targets:
+                        raise YarrrmlError(f"mapping {name}: unknown target {tid!r}")
+                    resolved_targets.append(doc_targets[tid])
+                pom_targets = resolved_targets
+            pom_graphs: list[TermMap | None] = [None]
+            if po_graph_vals:
+                pom_graphs = [_to_template(str(g), prefixes) for g in po_graph_vals]
+            for lt in pom_targets:
+                for gm in pom_graphs:
+                    out.append(
+                        replace(pom, logical_target=lt, graph_map=gm)
+                        if (lt is not None or gm is not None)
+                        else pom
+                    )
     return out
 
 
@@ -429,7 +467,7 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
                     poms = [
                         pom
                         for e in (m.get("po") or m.get("predicateobjects") or [])
-                        for pom in _parse_po(e, prefixes, name)
+                        for pom in _parse_po(e, prefixes, name, targets)
                     ]
                     tms.append(
                         TriplesMap(
