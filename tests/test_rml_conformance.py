@@ -669,6 +669,170 @@ ex:person a rr:TriplesMap ;
             (EX + "10", "IRI", "http://example.org/label", "Venus", "Literal", None, "en-US", None),
         },
     ),
+    # ---- round 8: R2RML direct-source shortcuts + graph-on-ROM themes ----
+    (
+        "RMLTC0010-tableName-theme",
+        "logical source via rr:tableName only (R2RML direct table form)",
+        'ex:m a rr:TriplesMap ;\n'
+        '  rml:logicalSource [ rr:tableName "regions" ] ;\n'
+        '  rr:subjectMap [ rr:template "http://example.com/region/{r_regionkey}" ] ;\n'
+        '  rr:predicateObjectMap [ rr:predicate ex:name ; rr:objectMap [ rml:reference "r_name" ] ] .',
+        {"regions": "table:/root/testdata/sf0.001/region.parquet"},
+        {
+            (EX + f"region/{k}", "IRI", "http://example.org/name", n, "Literal", None, None, None)
+            for k, n in enumerate(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])
+        },
+    ),
+    (
+        "RMLTC-sqlVersion-theme",
+        "rr:sqlVersion rr:SQL2008 annotation tolerated; rr:sqlQuery subsets the table",
+        'ex:m a rr:TriplesMap ;\n'
+        '  rml:logicalSource [ rr:tableName "regions" ; rr:sqlVersion rr:SQL2008 ;\n'
+        '      rr:sqlQuery "SELECT r_regionkey, r_name FROM regions WHERE r_regionkey < 2" ] ;\n'
+        '  rr:subjectMap [ rr:template "http://example.com/region/{r_regionkey}" ] ;\n'
+        '  rr:predicateObjectMap [ rr:predicate ex:name ; rr:objectMap [ rml:reference "r_name" ] ] .',
+        {"regions": "table:/root/testdata/sf0.001/region.parquet"},
+        {
+            (EX + "region/0", "IRI", "http://example.org/name", "AFRICA", "Literal", None, None, None),
+            (EX + "region/1", "IRI", "http://example.org/name", "AMERICA", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0009-plain-join-theme",
+        "plain R2RML rr:joinCondition [ rr:child ; rr:parent ] syntax",
+        f"""
+ex:student a rr:TriplesMap ;
+  {_LS_JSON} ;
+  rr:subjectMap [ rr:template "http://example.com/{{Id}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:plays ;
+    rr:objectMap [ rr:parentTriplesMap ex:sport ;
+                   rr:joinCondition [ rr:child "Sport" ; rr:parent "ID" ] ] ] .
+ex:sport a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "s.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://example.com/sport/{{ID}}" ] .
+""",
+        {"d.json": "inline:" + _STUDENTS, "s.json": "inline:" + _SPORTS},
+        {
+            (EX + "10", "IRI", "http://example.org/plays", EX + "sport/100", "IRI", None, None, None),
+            (EX + "11", "IRI", "http://example.org/plays", EX + "sport/101", "IRI", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0009c-rom-pom-graph-theme",
+        "graph map on a referencing-object-map POM: join quads land in that graph",
+        f"""
+ex:student a rr:TriplesMap ;
+  {_LS_JSON} ;
+  rr:subjectMap [ rr:template "http://example.com/{{Id}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:plays ;
+    rr:graph ex:practice ;
+    rr:objectMap [ rr:parentTriplesMap ex:sport ;
+                   rr:joinCondition [ rr:child "Sport" ; rr:parent "ID" ] ] ] .
+ex:sport a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "s.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://example.com/sport/{{ID}}" ] .
+""",
+        {"d.json": "inline:" + _STUDENTS, "s.json": "inline:" + _SPORTS},
+        {
+            (EX + "10", "IRI", "http://example.org/plays", EX + "sport/100", "IRI", None, None, "http://example.org/practice"),
+            (EX + "11", "IRI", "http://example.org/plays", EX + "sport/101", "IRI", None, None, "http://example.org/practice"),
+        },
+    ),
+    (
+        "RMLTC0009d-rom-subject-graph-theme",
+        "child subject graph applies to referencing-object-map quads (§11)",
+        f"""
+ex:student a rr:TriplesMap ;
+  {_LS_JSON} ;
+  rr:subjectMap [ rr:template "http://example.com/{{Id}}" ; rr:graph ex:g1 ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:plays ;
+    rr:objectMap [ rr:parentTriplesMap ex:sport ;
+                   rr:joinCondition [ rr:child "Sport" ; rr:parent "ID" ] ] ] .
+ex:sport a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "s.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://example.com/sport/{{ID}}" ] .
+""",
+        {"d.json": "inline:" + _STUDENTS, "s.json": "inline:" + _SPORTS},
+        {
+            (EX + "10", "IRI", "http://example.org/plays", EX + "sport/100", "IRI", None, None, "http://example.org/g1"),
+            (EX + "11", "IRI", "http://example.org/plays", EX + "sport/101", "IRI", None, None, "http://example.org/g1"),
+        },
+    ),
+    (
+        "RMLTC0009e-rom-graph-union-theme",
+        "subject graph + POM graph on a ROM: §9 union, quads in both graphs",
+        f"""
+ex:student a rr:TriplesMap ;
+  {_LS_JSON} ;
+  rr:subjectMap [ rr:template "http://example.com/{{Id}}" ; rr:graph ex:g1 ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:plays ;
+    rr:graph ex:practice ;
+    rr:objectMap [ rr:parentTriplesMap ex:sport ;
+                   rr:joinCondition [ rr:child "Sport" ; rr:parent "ID" ] ] ] .
+ex:sport a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "s.json" ; rml:iterator "$.[*]" ; rml:referenceFormulation ql:JSONPath ] ;
+  rr:subjectMap [ rr:template "http://example.com/sport/{{ID}}" ] .
+""",
+        {"d.json": "inline:" + _STUDENTS, "s.json": "inline:" + _SPORTS},
+        {
+            (EX + "10", "IRI", "http://example.org/plays", EX + "sport/100", "IRI", None, None, "http://example.org/g1"),
+            (EX + "11", "IRI", "http://example.org/plays", EX + "sport/101", "IRI", None, None, "http://example.org/g1"),
+            (EX + "10", "IRI", "http://example.org/plays", EX + "sport/100", "IRI", None, None, "http://example.org/practice"),
+            (EX + "11", "IRI", "http://example.org/plays", EX + "sport/101", "IRI", None, None, "http://example.org/practice"),
+        },
+    ),
+    (
+        "RMLTC0002g-bnode-object-theme",
+        "blank-node object map: same reference value = same node label",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate ex:addr ; "
+            'rr:objectMap [ rr:template "addr{Zip}" ; rr:termType rr:BlankNode ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Zip": "01000"}, {"Id": "11", "Zip": "01000"}]'},
+        {
+            (EX + "10", "IRI", "http://example.org/addr", "addr01000", "BlankNode", None, None, None),
+            (EX + "11", "IRI", "http://example.org/addr", "addr01000", "BlankNode", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0001c-multi-class-theme",
+        "several rr:class values: one type triple each",
+        _m('rr:subjectMap [ rr:template "http://example.com/{Id}" ; rr:class foaf:Person, ex:Student ]'),
+        {"d.json": "inline:" + '[{"Id": "10"}]'},
+        {
+            (EX + "10", "IRI", RDF_TYPE, FOAF + "Person", "IRI", None, None, None),
+            (EX + "10", "IRI", RDF_TYPE, "http://example.org/Student", "IRI", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0001d-subject-constant-theme",
+        "rr:subject + rr:object constant shortcuts (§6.3)",
+        'ex:m a rr:TriplesMap ;\n'
+        f"  {_LS_JSON} ;\n"
+        "  rr:subject ex:thing ;\n"
+        "  rr:predicateObjectMap [ rr:predicate ex:sameAs ; rr:object ex:other ] .",
+        {"d.json": "inline:" + '[{"Id": "10"}]'},
+        {
+            ("http://example.org/thing", "IRI", "http://example.org/sameAs", "http://example.org/other", "IRI", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0004b-null-subject-theme",
+        "record with null subject reference produces no triples for that row",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; rr:objectMap [ rml:reference \"Name\" ] ]"
+        ),
+        {"d.json": "inline:" + '[{"Id": "10", "Name": "Venus"}, {"Id": null, "Name": "Ghost"}]'},
+        {
+            (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, None),
+        },
+    ),
 ]
 
 
