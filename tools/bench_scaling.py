@@ -104,11 +104,15 @@ def main() -> None:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     pages_path = f"{base}/rml_scaling_pages_{n_pages}"
 
-    # RML_SCALING_ORDER=high-first runs the (short) high-core leg while
-    # the window is freshest; any late-window host degradation then
-    # lands on the LOW-core leg, which can only deflate the reported
-    # ratio — conservative direction. A burn checkpoint between levels
-    # records the host's state at the boundary.
+    # Level order and drift direction: efficiency = (thr_hi/thr_lo)/(n_hi/
+    # n_lo), so late-window degradation landing on the HIGH-core leg
+    # DEFLATES the ratio (conservative) while landing on the LOW-core leg
+    # INFLATES it. The default low-first order is therefore the
+    # conservative one. RML_SCALING_ORDER=high-first exists to complete
+    # the short high-core leg inside a freshly-certified window — any
+    # result it produces must lean on the mid/post burns harder, since
+    # its drift direction is anti-conservative. A burn checkpoint between
+    # levels records the host's state at the boundary either way.
     high_first = os.environ.get("RML_SCALING_ORDER") == "high-first"
     if high_first:
         r2 = run_level(n2, pages_path, n_pages)
