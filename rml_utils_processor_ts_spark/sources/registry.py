@@ -97,7 +97,10 @@ def _xml_findall(root, path: str) -> list:
         # relative iterator: children of the document root
         try:
             return root.findall(p)
-        except SyntaxError:
+        except (SyntaxError, KeyError):
+            # KeyError: ElementTree's tokenizer raises it raw for any
+            # prefixed name test without a namespace map ('*:item',
+            # 'a:item') — route to the walker like other ext syntax
             try:
                 return findall_ext(root, p)
             except Exception:
@@ -106,7 +109,7 @@ def _xml_findall(root, path: str) -> list:
     synthetic.append(root)
     try:
         return synthetic.findall(p)
-    except SyntaxError:
+    except (SyntaxError, KeyError):
         try:
             return findall_ext(synthetic, p)
         except Exception:

@@ -47,6 +47,7 @@ _EXT_MARKERS = (
     "::", "contains(", "starts-with(", "position()", "not(",
     "number(", "string-length(", "substring(",
     " and ", " or ",
+    "*:",  # namespace-wildcard name test (ElementTree can't parse it)
 )
 
 _POSITION_RE = re.compile(r"^position\(\)\s*(<=|>=|!=|<|>|=)\s*(\d+)$")
@@ -142,6 +143,22 @@ def _xpath_substring(v: str, start: float, length: float | None) -> str:
     s = _xpath_round(start)
     e = float("inf") if length is None else s + _xpath_round(length)
     return "".join(ch for i, ch in enumerate(v, 1) if i >= s and i < e)
+
+
+def _tag_matches(tag: str, test: str) -> bool:
+    """XPath name test against an ElementTree tag. ``*`` matches any
+    element; ``*:name`` (XPath 2.0 namespace wildcard, also accepted by
+    several 1.0 processors) matches any element whose LOCAL name is
+    ``name`` regardless of namespace — ElementTree spells namespaced
+    tags ``{uri}local``."""
+    if test == "*":
+        return True
+    if test.startswith("*:"):
+        local = test[2:]
+        if tag == local:
+            return True
+        return tag.startswith("{") and tag.rpartition("}")[2] == local
+    return tag == test
 
 
 def _mask_quoted(path: str) -> str:
@@ -408,7 +425,7 @@ class _Walker:
     # ---- axis candidate generation (document/proximity order) --------
     def _axis_candidates(self, el, axis: str, test: str) -> list:
         def ok(e):
-            return test == "*" or e.tag == test
+            return _tag_matches(e.tag, test)
 
         if axis == "child":
             return [c for c in el if ok(c)]
