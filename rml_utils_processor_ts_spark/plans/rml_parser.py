@@ -10,6 +10,7 @@ subject rules (``incrml.ts:356-368,391-412``).
 
 from __future__ import annotations
 
+import json
 import re
 
 from . import voc
@@ -208,6 +209,35 @@ _FORMULATIONS = {
 }
 
 
+def _parse_formulation(g: Graph, node: Term, default: str) -> tuple[str, dict[str, str]]:
+    """rml:referenceFormulation: a ql:* constant IRI, or the RML-IO
+    structured form — a node typed rml:XPathReferenceFormulation
+    carrying rml:namespace [ rml:namespacePrefix ; rml:namespaceURL ]
+    declarations (http://w3id.org/rml/). Returns (kind, extra options);
+    declared prefix maps land in options["xpath.namespaces"] (JSON) and
+    switch the XPath evaluator from local-name matching to real
+    namespace-aware prefix expansion (sources/registry.py)."""
+    f = g.object(node, voc.RML_REFERENCE_FORMULATION)
+    if f is None:
+        return default, {}
+    if f.value in _FORMULATIONS:
+        return _FORMULATIONS[f.value], {}
+    types = {t.value for t in g.objects(f, voc.RDF_TYPE)}
+    if voc.RMLCORE_XPATH_REF_FORM in types:
+        ns: dict[str, str] = {}
+        for nsn in g.objects(f, voc.RMLCORE_NAMESPACE):
+            pfx = g.object(nsn, voc.RMLCORE_NAMESPACE_PREFIX)
+            url = g.object(nsn, voc.RMLCORE_NAMESPACE_URL)
+            if pfx is None or url is None:
+                raise MappingParseError(
+                    "rml:namespace needs rml:namespacePrefix + rml:namespaceURL"
+                )
+            ns[pfx.value] = url.value
+        opts = {"xpath.namespaces": json.dumps(ns, sort_keys=True)} if ns else {}
+        return "xpath", opts
+    raise MappingParseError(f"unknown referenceFormulation {f.value}")
+
+
 def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> LogicalSource:
     src = g.object(node, voc.RML_SOURCE)
     table_name = g.object(node, voc.RR_TABLE_NAME)
@@ -225,12 +255,8 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
         options["table_name"] = table_name.value
     if src is None:
         location = bindings.get(table_name.value, table_name.value)
-        formulation = g.object(node, voc.RML_REFERENCE_FORMULATION)
-        kind = "table"
-        if formulation is not None:
-            if formulation.value not in _FORMULATIONS:
-                raise MappingParseError(f"unknown referenceFormulation {formulation.value}")
-            kind = _FORMULATIONS[formulation.value]
+        kind, extra_opts = _parse_formulation(g, node, "table")
+        options.update(extra_opts)
         it = g.object(node, voc.RML_ITERATOR)
         return LogicalSource(
             source=location,
@@ -316,13 +342,11 @@ def _parse_logical_source(g: Graph, node: Term, bindings: dict[str, str]) -> Log
     # dict lookup instead of rewriting serialized text
     # (/root/reference/src/rml/rml.ts:190-201).
     location = bindings.get(location, location)
-    formulation = g.object(node, voc.RML_REFERENCE_FORMULATION)
-    kind = "csv"
-    if formulation is not None:
-        if formulation.value not in _FORMULATIONS:
-            raise MappingParseError(f"unknown referenceFormulation {formulation.value}")
-        kind = _FORMULATIONS[formulation.value]
-    elif location.startswith("table:") or "jdbc.url" in options:
+    kind, extra_opts = _parse_formulation(g, node, "csv")
+    options.update(extra_opts)
+    if g.object(node, voc.RML_REFERENCE_FORMULATION) is None and (
+        location.startswith("table:") or "jdbc.url" in options
+    ):
         kind = "table"
     it = g.object(node, voc.RML_ITERATOR)
     return LogicalSource(

@@ -172,9 +172,25 @@ def _source_block(ls: LogicalSource) -> str:
         lines.append(f"  {_iri(voc.RML_QUERY)} {_lit(ls.query)} ;")
     if ls.iterator:
         lines.append(f"  rml:iterator {_lit(ls.iterator)} ;")
-    formulation = _FORMULATION_IRI.get(ls.kind)
-    if formulation:
-        lines.append(f"  rml:referenceFormulation {_iri(formulation)} ;")
+    ns_json = ls.options.get("xpath.namespaces")
+    if ls.kind == "xpath" and ns_json:
+        # RML-IO structured formulation: prefix map round-trips
+        import json as _json
+
+        ns_blocks = " ; ".join(
+            f"{_iri(voc.RMLCORE_NAMESPACE)} [ "
+            f"{_iri(voc.RMLCORE_NAMESPACE_PREFIX)} {_lit(pfx)} ; "
+            f"{_iri(voc.RMLCORE_NAMESPACE_URL)} {_lit(url)} ]"
+            for pfx, url in sorted(_json.loads(ns_json).items())
+        )
+        lines.append(
+            f"  rml:referenceFormulation [ a {_iri(voc.RMLCORE_XPATH_REF_FORM)} ; "
+            f"{ns_blocks} ] ;"
+        )
+    else:
+        formulation = _FORMULATION_IRI.get(ls.kind)
+        if formulation:
+            lines.append(f"  rml:referenceFormulation {_iri(formulation)} ;")
     lines[-1] = lines[-1].rstrip(" ;")
     lines.append("]")
     return "\n".join(lines)

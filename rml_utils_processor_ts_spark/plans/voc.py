@@ -11,6 +11,13 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 RR = "http://www.w3.org/ns/r2rml#"
 RML = "http://semweb.mmlab.be/ns/rml#"
 QL = "http://semweb.mmlab.be/ns/ql#"
+# new-generation RML core (RML-IO spec, kg-construct W3C CG): structured
+# reference formulations with XPath namespace declarations
+RMLCORE = "http://w3id.org/rml/"
+RMLCORE_XPATH_REF_FORM = RMLCORE + "XPathReferenceFormulation"
+RMLCORE_NAMESPACE = RMLCORE + "namespace"
+RMLCORE_NAMESPACE_PREFIX = RMLCORE + "namespacePrefix"
+RMLCORE_NAMESPACE_URL = RMLCORE + "namespaceURL"
 FNML = "http://semweb.mmlab.be/ns/fnml#"
 FNO = "https://w3id.org/function/ontology#"
 IDLAB_FN = "http://example.com/idlab/function/"

@@ -118,7 +118,9 @@ def _xml_findall(root, path: str) -> list:
 
 
 
-def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
+def _xml_iter_records(
+    doc: str, iterator: str, refs: list[str], namespaces: dict[str, str] | None = None
+) -> list[dict]:
     """Evaluate an XPath iterator + per-record references with stdlib
     ElementTree (container has no lxml). Covers the reference-fixture
     subset — iterator ``//name``; refs ``@attr``, ``child/@attr``,
@@ -131,13 +133,24 @@ def _xml_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
         root = ET.fromstring(doc)
     except ET.ParseError:
         return []
-    _strip_xml_namespaces(root)
-    matches = _xml_findall(root, iterator or "/*")
+    if namespaces:
+        # RML-IO declared prefix map: keep Clark names and expand
+        # declared prefixes to {uri}local in paths (real namespace-aware
+        # matching); without declarations, strip namespaces and match
+        # local names (the pragmatic default documented below)
+        from .xpath_ext import expand_prefixes
+
+        eval_refs = [(ref, expand_prefixes(ref, namespaces)) for ref in refs]
+        matches = _xml_findall(root, expand_prefixes(iterator or "/*", namespaces))
+    else:
+        _strip_xml_namespaces(root)
+        eval_refs = [(ref, ref) for ref in refs]
+        matches = _xml_findall(root, iterator or "/*")
     out = []
     for el in matches:
         rec = {}
-        for ref in refs:
-            rec[ref_column_name(ref)] = _xml_eval_ref(el, ref)
+        for ref, eref in eval_refs:
+            rec[ref_column_name(ref)] = _xml_eval_ref(el, eref)
         out.append(rec)
     return out
 
@@ -396,7 +409,13 @@ def _records_schema(refs: list[str]) -> T.ArrayType:
 
 
 def _python_iterate_records(
-    df: DataFrame, payload_col: str, kind: str, iterator: str | None, refs: list[str], passthrough: list[str]
+    df: DataFrame,
+    payload_col: str,
+    kind: str,
+    iterator: str | None,
+    refs: list[str],
+    passthrough: list[str],
+    namespaces: dict[str, str] | None = None,
 ) -> DataFrame:
     """Arrow-batched pandas UDF iterate (array<struct> out) + built-in
     explode — the general-shape path for XML/JSON iterators."""
@@ -405,8 +424,13 @@ def _python_iterate_records(
 
     @F.pandas_udf(schema)
     def iterate(docs: pd.Series) -> pd.Series:
-        fn = _xml_iter_records if kind == "xpath" else _json_iter_records
-        return docs.map(lambda d: fn(d, iterator, ref_list) if d is not None else [])
+        if kind == "xpath":
+            return docs.map(
+                lambda d: _xml_iter_records(d, iterator, ref_list, namespaces)
+                if d is not None
+                else []
+            )
+        return docs.map(lambda d: _json_iter_records(d, iterator, ref_list) if d is not None else [])
 
     recs = df.withColumn("__records", iterate(F.col(payload_col)))
     exploded = recs.select(*passthrough, F.explode("__records").alias("__rec"))
@@ -433,6 +457,16 @@ def _iterate_docs_df(df: DataFrame, payload_col: str, ls: LogicalSource, refs: l
     Nested documents route to the tree walker; the rest explode the
     fragment array. Both branches union to one frame; passthrough
     survives all paths."""
+    ns_json = ls.options.get("xpath.namespaces") if ls.kind == "xpath" else None
+    if ns_json:
+        # declared prefix map: Clark-name matching only exists on the
+        # walker path (the fragment-regex fast path matches literal tag
+        # text and cannot honor prefix bindings)
+        import json as _json
+
+        return _python_iterate_records(
+            df, payload_col, ls.kind, ls.iterator, refs, passthrough, _json.loads(ns_json)
+        )
     if ls.kind == "xpath" and os.environ.get("RML_XML_FAST_PATH", "1") != "0":
         plan = _xml_fast_path_plan(ls.iterator or "", refs)
         if plan is not None:

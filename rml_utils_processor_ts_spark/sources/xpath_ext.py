@@ -145,6 +145,44 @@ def _xpath_substring(v: str, start: float, length: float | None) -> str:
     return "".join(ch for i, ch in enumerate(v, 1) if i >= s and i < e)
 
 
+_PREFIX_NAME_RE = re.compile(r"([A-Za-z_][\w.\-]*):(?!:)")
+
+
+def expand_prefixes(path: str, namespaces: dict[str, str]) -> str:
+    """Rewrite declared-prefix name tests to ElementTree Clark form:
+    ``ex:item`` -> ``{http://...}item`` (quote-aware — prefixes inside
+    comparison literals are untouched; ``::`` axis separators are
+    excluded by the lookahead; undeclared prefixes pass through for the
+    walker's literal-tag match to handle)."""
+
+    def _sub(seg: str) -> str:
+        return _PREFIX_NAME_RE.sub(
+            lambda m: "{%s}" % namespaces[m.group(1)]
+            if m.group(1) in namespaces
+            else m.group(0),
+            seg,
+        )
+
+    out: list[str] = []
+    buf: list[str] = []
+    quote = None
+    for ch in path:
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            out.append(_sub("".join(buf)))
+            buf = []
+            out.append(ch)
+            quote = ch
+        else:
+            buf.append(ch)
+    out.append(_sub("".join(buf)))
+    return "".join(out)
+
+
 def _tag_matches(tag: str, test: str) -> bool:
     """XPath name test against an ElementTree tag. ``*`` matches any
     element; ``*:name`` (XPath 2.0 namespace wildcard, also accepted by

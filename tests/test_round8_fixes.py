@@ -298,3 +298,71 @@ def test_materialize_falls_back_on_checkpoint_crash(spark, monkeypatch):
     out = cc._materialize(df)
     assert calls["n"] == 2
     assert sorted(r.u for r in out.collect()) == list(range(10))
+
+
+# ---- RML-IO XPath namespace declarations (round 8) ------------------------
+
+
+NS_MAPPING = """
+ex:x a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "d.xml" ; rml:iterator "//s:item" ;
+      rml:referenceFormulation [ a <http://w3id.org/rml/XPathReferenceFormulation> ;
+          <http://w3id.org/rml/namespace> [
+              <http://w3id.org/rml/namespacePrefix> "s" ;
+              <http://w3id.org/rml/namespaceURL> "http://shop.example/" ] ;
+          <http://w3id.org/rml/namespace> [
+              <http://w3id.org/rml/namespacePrefix> "m" ;
+              <http://w3id.org/rml/namespaceURL> "http://meta.example/" ] ] ] ;
+  rr:subjectMap [ rr:template "http://ex.org/i/{@id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ; rr:objectMap [ rml:reference "m:name/text()" ] ] .
+"""
+
+NS_DOC = (
+    "inline:<r xmlns:a='http://shop.example/' xmlns:b='http://meta.example/'"
+    " xmlns:o='http://other.example/'>"
+    "<a:item id='1'><b:name>widget</b:name></a:item>"
+    "<o:item id='2'><b:name>wrong-ns</b:name></o:item>"
+    "<item id='3'/></r>"
+)
+
+
+def test_xpath_namespace_declarations_parse_and_roundtrip():
+    """RML-IO structured formulation: prefix map lands in the logical
+    source options and survives serialize -> re-parse hash-equal."""
+    import json
+
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+    from rml_utils_processor_ts_spark.plans.serializer import plan_to_rml
+
+    plan = parse_mapping(NS_MAPPING, {"d.xml": NS_DOC})
+    ls = plan.triples_maps[0].logical_source
+    assert ls.kind == "xpath"
+    assert json.loads(ls.options["xpath.namespaces"]) == {
+        "s": "http://shop.example/",
+        "m": "http://meta.example/",
+    }
+    ttl = plan_to_rml(plan)
+    plan2 = parse_mapping(ttl, {"d.xml": NS_DOC})
+    assert plan.plan_hash() == plan2.plan_hash()
+
+
+def test_xpath_namespace_declarations_execute(spark):
+    """Declared prefixes match by NAMESPACE, not local name: only the
+    item in the declared shop namespace is iterated (the other-namespace
+    and no-namespace items are excluded), and the reference resolves
+    through the second declared prefix."""
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+    res = execute_mapping(spark, NS_MAPPING, {"d.xml": NS_DOC})
+    rows = {(r.s, r.o) for r in res.triples.collect()}
+    assert rows == {("http://ex.org/i/1", "widget")}
+
+
+def test_expand_prefixes_quote_aware():
+    from rml_utils_processor_ts_spark.sources.xpath_ext import expand_prefixes
+
+    ns = {"a": "http://a/"}
+    assert expand_prefixes("//a:item", ns) == "//{http://a/}item"
+    assert expand_prefixes("//a:item[@v='a:keep']", ns) == "//{http://a/}item[@v='a:keep']"
+    # axis separators untouched; undeclared prefixes pass through
+    assert expand_prefixes("a:x/following-sibling::b:y", ns) == "{http://a/}x/following-sibling::b:y"
