@@ -249,7 +249,7 @@ def _parse_po(
         condition = entry.get("condition")
         raw_t = entry.get("targets") or []
         po_target_names = [raw_t] if isinstance(raw_t, str) else list(raw_t)
-        gv = entry.get("graph") or entry.get("graphs")
+        gv = entry.get("graph") or entry.get("graphs") or entry.get("g")
         if gv is not None:
             po_graph_vals = gv if isinstance(gv, list) else [gv]
         inv_val = entry.get("inversepredicates") or entry.get("inversepredicate")
@@ -282,6 +282,10 @@ def _parse_po(
                 raw = obj_val["targets"]
                 target_names += [raw] if isinstance(raw, str) else list(raw)
                 obj_val = {k: v for k, v in obj_val.items() if k != "targets"}
+            # a target id named at BOTH po level and on the object dict
+            # is one routing declaration, not two POM copies (duplicate
+            # quads under dedupe=False otherwise)
+            target_names = list(dict.fromkeys(target_names))
             pom = _build_pom(pred, pred_val, obj_val, condition, inverse_pred, prefixes, name)
             pom_targets: list[LogicalTarget | None] = [None]
             if target_names:

@@ -189,8 +189,10 @@ def _xml_eval_ref(el, ref: str):
     if _XML_ATTR_STEP_RE is None:
         # a final attribute step: anything, then '/@name' — the greedy
         # prefix keeps '/@' inside predicates ([a/@b='x']) out of the
-        # attr group because the ref must END in a bare attribute name
-        _XML_ATTR_STEP_RE = re.compile(r"^(.*)/@([A-Za-z_][\w.-]*)$")
+        # attr group because the ref must END in a bare attribute name.
+        # The name may be Clark-form ('{uri}local') when expand_prefixes
+        # rewrote a declared prefix (a:child/@a:id -> {uri}child/@{uri}id)
+        _XML_ATTR_STEP_RE = re.compile(r"^(.*)/@((?:\{[^}]*\})?[A-Za-z_][\w.-]*)$")
     if ref.startswith("@"):
         return el.get(ref[1:])
     if ref in (".", "text()", "./text()"):
@@ -221,7 +223,11 @@ def _xml_find_first(el, path: str):
     syntax ElementTree rejects (same ladder as _xml_findall)."""
     try:
         return el.find(path)
-    except SyntaxError:
+    except (SyntaxError, KeyError):
+        # KeyError: ElementTree's tokenizer raises it raw (not
+        # SyntaxError) for prefixed/Clark-form steps it can't resolve —
+        # e.g. a stray '@' step left when the attr regex didn't strip a
+        # Clark attribute name; same ladder as _xml_findall
         from .xpath_ext import findall_ext
 
         try:

@@ -262,10 +262,13 @@ def _string_value(el) -> str:
 
 
 def _split_steps(path: str) -> list[tuple[bool, str]]:
-    """Split on '/' outside brackets/quotes; '' between slashes marks a
-    descendant ('//') step. Returns [(descendant, step_text), ...]."""
+    """Split on '/' outside brackets/quotes/Clark-name braces; ''
+    between slashes marks a descendant ('//') step. Clark names
+    ('{http://uri/}local', produced by expand_prefixes) contain slashes
+    inside the braces — those spans are opaque, never step boundaries.
+    Returns [(descendant, step_text), ...]."""
     parts: list[str] = []
-    cur, depth, quote = [], 0, None
+    cur, depth, brace, quote = [], 0, 0, None
     for ch in path:
         if quote:
             cur.append(ch)
@@ -275,13 +278,19 @@ def _split_steps(path: str) -> list[tuple[bool, str]]:
         if ch in "'\"":
             quote = ch
             cur.append(ch)
+        elif ch == "{":
+            brace += 1
+            cur.append(ch)
+        elif ch == "}":
+            brace -= 1
+            cur.append(ch)
         elif ch == "[":
             depth += 1
             cur.append(ch)
         elif ch == "]":
             depth -= 1
             cur.append(ch)
-        elif ch == "/" and depth == 0:
+        elif ch == "/" and depth == 0 and brace == 0:
             parts.append("".join(cur))
             cur = []
         else:
@@ -302,11 +311,26 @@ def _split_steps(path: str) -> list[tuple[bool, str]]:
 
 
 def _split_predicates(step: str) -> tuple[str, list[str]]:
-    i = step.find("[")
+    # first '[' outside quotes and outside Clark-name braces (an IPv6
+    # namespace URI like {http://[::1]/ns} legally contains brackets)
+    i, brace, quote = -1, 0, None
+    for j, ch in enumerate(step):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "{":
+            brace += 1
+        elif ch == "}":
+            brace -= 1
+        elif ch == "[" and brace == 0:
+            i = j
+            break
     if i < 0:
         return step, []
     head = step[:i]
-    preds, depth, quote, cur = [], 0, None, []
+    preds, depth, brace, quote, cur = [], 0, 0, None, []
     for ch in step[i:]:
         if quote:
             cur.append(ch)
@@ -316,11 +340,17 @@ def _split_predicates(step: str) -> tuple[str, list[str]]:
         if ch in "'\"":
             quote = ch
             cur.append(ch)
-        elif ch == "[":
+        elif ch == "{":
+            brace += 1
+            cur.append(ch)
+        elif ch == "}":
+            brace -= 1
+            cur.append(ch)
+        elif ch == "[" and brace == 0:
             depth += 1
             if depth > 1:
                 cur.append(ch)
-        elif ch == "]":
+        elif ch == "]" and brace == 0:
             depth -= 1
             if depth == 0:
                 preds.append("".join(cur))
@@ -500,7 +530,9 @@ class _Walker:
         head = head.strip()
         if head == "..":
             axis, test = "parent", "*"
-        elif "::" in head:
+        elif "::" in head and not head.startswith("{"):
+            # an axis separator can only precede the name test; a step
+            # STARTING with a Clark name ({http://[::1]}x) has no axis
             axis, test = head.split("::", 1)
             axis = axis.strip()
             test = test.strip() or "*"

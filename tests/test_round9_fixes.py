@@ -1,0 +1,144 @@
+"""Round-9 ADVICE regressions: Clark-name handling on the XML slow
+path (attribute refs + the extension walker) and YARRRML po-level
+graph/target parsing details."""
+
+import xml.etree.ElementTree as ET
+
+from rml_utils_processor_ts_spark.plans.yarrrml import yarrrml_to_plan
+from rml_utils_processor_ts_spark.sources.registry import (
+    _xml_iter_records,
+    ref_column_name,
+)
+from rml_utils_processor_ts_spark.sources.xpath_ext import (
+    _split_predicates,
+    _split_steps,
+    expand_prefixes,
+    findall_ext,
+)
+
+NS = {"a": "http://a.example/ns/"}
+NS_DOC = (
+    "<r xmlns:a='http://a.example/ns/'>"
+    "<a:item a:id='1'><a:child a:id='c1'>xray</a:child></a:item>"
+    "<a:item a:id='2'><a:child a:id='c2'>plain</a:child></a:item>"
+    "<a:g><a:item a:id='g1'>first</a:item><a:item a:id='g2'>second</a:item></a:g>"
+    "</r>"
+)
+
+
+# ---- ADVICE #1: Clark-form attribute steps must not crash the UDF ---------
+
+
+def test_clark_attr_ref_resolves():
+    """ref 'a:child/@a:id' with declared namespaces expands to
+    '{uri}child/@{uri}id'; before the fix the attr-step regex rejected
+    the Clark name and ElementTree raised raw KeyError('@') inside the
+    pandas UDF, failing the Spark task on a valid RML-IO mapping."""
+    recs = _xml_iter_records(NS_DOC, "//a:item", ["a:child/@a:id", "@a:id"], NS)
+    got = [(r[ref_column_name("@a:id")], r[ref_column_name("a:child/@a:id")]) for r in recs]
+    assert got[:2] == [("1", "c1"), ("2", "c2")]
+
+
+def test_xml_find_first_keyerror_fallback_returns_none():
+    """Residual Clark/prefixed syntax ElementTree rejects with raw
+    KeyError must fall through the walker ladder, never escape."""
+    from rml_utils_processor_ts_spark.sources.registry import _xml_find_first
+
+    el = ET.fromstring("<r><c id='1'/></r>")
+    # ET's tokenizer raises KeyError for a bare trailing-@ step
+    assert _xml_find_first(el, "c/@") is None
+
+
+# ---- ADVICE #2: Clark names are opaque to the walker's splitters ----------
+
+
+def test_split_steps_treats_clark_spans_as_opaque():
+    p = expand_prefixes("//a:g/a:item", NS)
+    assert p == "//{http://a.example/ns/}g/{http://a.example/ns/}item"
+    steps = _split_steps(".//" + p[2:])
+    assert [s for _, s in steps] == [
+        "{http://a.example/ns/}g",
+        "{http://a.example/ns/}item",
+    ]
+
+
+def test_split_predicates_clark_head():
+    head, preds = _split_predicates("{http://a/}item[position()=1]")
+    assert head == "{http://a/}item"
+    assert preds == ["position()=1"]
+    # IPv6 namespace URIs legally contain brackets and colons
+    head, preds = _split_predicates("{http://[::1]/ns}x[1]")
+    assert head == "{http://[::1]/ns}x"
+    assert preds == ["1"]
+
+
+def test_walker_clark_contains_and_position():
+    """Declared-namespace paths that need the extension walker
+    (contains(), position()) silently returned [] before the fix —
+    _split_steps split on the '/' inside the namespace URI."""
+    root = ET.fromstring(NS_DOC)
+    p1 = expand_prefixes("//a:item[contains(text(), 'x')]", NS)
+    got = findall_ext(root, ".//" + p1[2:])
+    assert [e.get("{http://a.example/ns/}id") for e in got] == ["1"]
+    p2 = expand_prefixes("//a:g/a:item[position()=1]", NS)
+    got = findall_ext(root, ".//" + p2[2:])
+    assert [e.text for e in got] == ["first"]
+
+
+def test_iter_records_namespaced_walker_iterator():
+    """End-to-end through _xml_iter_records: a namespaced iterator that
+    ElementTree rejects (function predicate) must route to the walker
+    and still match by namespace."""
+    recs = _xml_iter_records(
+        NS_DOC, "//a:item[contains(text(), 'first')]", ["."], NS
+    )
+    assert [r[ref_column_name(".")] for r in recs] == ["first"]
+
+
+# ---- ADVICE #3: YARRRML po-level 'g' shortcut + target dedup ---------------
+
+
+def test_yarrrml_po_graph_g_shortcut():
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - p: ex:name
+              o: $(name)
+              g: ex:gA
+"""
+    plan = yarrrml_to_plan(doc, {"d.json": 'inline:[{"id": "1", "name": "x"}]'})
+    poms = plan.triples_maps[0].predicate_object_maps
+    assert len(poms) == 1
+    assert poms[0].graph_map is not None
+    assert poms[0].graph_map.constant == "http://example.org/gA"
+
+
+def test_yarrrml_duplicate_target_ids_dedup():
+    """A target id listed at BOTH po level and inside the object dict is
+    one routing declaration — duplicated POM copies produced duplicate
+    quads under PlanExecutor(dedupe=False)."""
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+targets:
+    t1: ["out/a.nq~void", "nquads"]
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - p: ex:name
+              o:
+                  value: $(name)
+                  targets: [t1]
+              targets: [t1]
+"""
+    plan = yarrrml_to_plan(doc, {"d.json": 'inline:[{"id": "1", "name": "x"}]'})
+    poms = plan.triples_maps[0].predicate_object_maps
+    assert len(poms) == 1
+    assert poms[0].logical_target.target_id == "urn:yarrrml:target:t1"
