@@ -584,6 +584,12 @@ class PlanExecutor:
                     continue
                 pred = compile_term_map(pom.predicate, resolve, "predicate")
                 obj = _compile_object(pom.object, resolve)
+                if pom.predicate.constant is None:
+                    # R2RML §11.1: a failed (null) predicate generation
+                    # produces NO triple — null the object so the quad
+                    # drops at the existing o-filter; constant predicates
+                    # (the overwhelming majority) pay nothing
+                    obj = F.when(pred.isNotNull(), obj)
                 lang_col = compile_language(pom.object, resolve)
                 dtype_col = compile_datatype(pom.object, resolve)
                 for tid in self._pom_target_ids(tm, pom):
@@ -696,6 +702,10 @@ class PlanExecutor:
                 continue
             pred = compile_term_map(pom.predicate, resolve, "predicate")
             obj = _compile_object(pom.object, resolve)
+            if pom.predicate.constant is None:
+                # null predicate generation -> no triple (R2RML §11.1);
+                # free for constant predicates
+                obj = F.when(pred.isNotNull(), obj)
             ttype = effective_term_type(pom.object, "object")
             dtype_col = compile_datatype(pom.object, resolve)
             lang_col = compile_language(pom.object, resolve)
@@ -935,6 +945,9 @@ class PlanExecutor:
             )
             if pgflag:
                 child_side = child_side.filter(F.col("__g").isNotNull())
+            if pom.predicate.constant is None:
+                # null predicate generation -> no triple (R2RML §11.1)
+                child_side = child_side.filter(F.col("__p").isNotNull())
         else:
             payload = F.array(
                 *[
@@ -975,6 +988,9 @@ class PlanExecutor:
             joined = joined.withColumn("__pom", F.explode(F.col("__poms"))).filter(
                 ~(F.col("__pom.pgflag") & F.col("__pom.g").isNull())
             )
+            if any(p.predicate.constant is None for p in poms):
+                # null predicate generation -> no triple (R2RML §11.1)
+                joined = joined.filter(F.col("__pom.p").isNotNull())
         return joined.select(
             F.col("s"),
             F.lit(s_ttype).alias("s_termtype"),
