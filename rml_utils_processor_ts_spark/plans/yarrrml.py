@@ -69,6 +69,14 @@ _PARAM_SHORTHAND = {
     "sep": voc.GREL_PARAM_STRING_SEP,
 }
 
+# yarrrml object ``type:`` shorthands -> rr:termType
+_TERM_TYPES = {
+    "iri": "IRI",
+    "literal": "Literal",
+    "blank": "BlankNode",
+    "blanknode": "BlankNode",
+}
+
 # yarrrml serialization shorthands -> formats: IRIs
 _SERIALIZATIONS = {
     "nquads": voc.FORMATS + "N-Quads",
@@ -127,6 +135,31 @@ def _expand_prefixed(value: str, prefixes: dict[str, str]) -> str:
         if pfx in prefixes:
             return prefixes[pfx] + local
     return value
+
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+# document-level ``base:`` travels in the prefix dict under a key no
+# YAML prefix name can legally collide with ('@' is not a PN_PREFIX char)
+_BASE_KEY = "@base"
+
+
+def _apply_base(tm: TermMap, prefixes: dict[str, str]) -> TermMap:
+    """YARRRML document-level ``base:``: a relative template/constant in
+    an IRI position resolves against the base (the @rmlio parser emits
+    ``@base`` into its RML and RMLMapper resolves relative IRI terms per
+    R2RML §7.4; we resolve the common prefix-concatenation form at
+    compile time — data-dependent relative outputs from bare
+    rml:reference terms are out of scope and drop at the engine's IRI
+    validity filter)."""
+    base = prefixes.get(_BASE_KEY)
+    if not base:
+        return tm
+    if tm.template is not None and not _SCHEME_RE.match(tm.template):
+        tm.template = base + tm.template
+    elif tm.constant is not None and not _SCHEME_RE.match(tm.constant):
+        tm.constant = base + tm.constant
+        tm.constant_is_iri = True
+    return tm
 
 
 def _to_template(value: str, prefixes: dict[str, str]) -> TermMap:
@@ -275,7 +308,10 @@ def _parse_po(
         if pred_val == "a":
             pred = TermMap(constant=voc.RDF_TYPE, constant_is_iri=True)
         else:
-            pred = TermMap(constant=_expand_prefixed(str(pred_val), prefixes), constant_is_iri=True)
+            pred = _apply_base(
+                TermMap(constant=_expand_prefixed(str(pred_val), prefixes), constant_is_iri=True),
+                prefixes,
+            )
         for obj_val in obj_vals:
             target_names = list(po_target_names)
             if isinstance(obj_val, dict) and obj_val.get("targets"):
@@ -297,7 +333,10 @@ def _parse_po(
                 pom_targets = resolved_targets
             pom_graphs: list[TermMap | None] = [None]
             if po_graph_vals:
-                pom_graphs = [_to_template(str(g), prefixes) for g in po_graph_vals]
+                pom_graphs = [
+                    _apply_base(_to_template(str(g), prefixes), prefixes)
+                    for g in po_graph_vals
+                ]
             for lt in pom_targets:
                 for gm in pom_graphs:
                     out.append(
@@ -337,41 +376,98 @@ def _build_pom(
 
     datatype = None
     language = None
+    language_map = None
+    term_type = None
+
+    def _lang(val: str) -> None:
+        # dynamic language maps: a reference-valued tag ($(col)~lang or
+        # {language: $(col)}) compiles to rml:languageMap; a plain tag
+        # stays the static rr:language (both supported by the RML side)
+        nonlocal language, language_map
+        if _REF_RE.search(val):
+            language_map = _to_template(val, prefixes)
+        else:
+            language = val
+
     if isinstance(obj_val, list):
         annotation = str(obj_val[1]) if len(obj_val) > 1 else None
         obj_val = obj_val[0]
         if annotation and annotation.endswith("~lang"):
             # yarrrml language shorthand: [ex:name, $(name), en~lang]
-            language = annotation[: -len("~lang")]
+            _lang(annotation[: -len("~lang")])
         elif annotation:
             datatype = _expand_prefixed(annotation, prefixes)
     if isinstance(obj_val, dict) and ("function" in obj_val or "fn" in obj_val):
+        # FnO function object in po value position; the dict may carry
+        # the same annotations a value dict does (datatype/language/type)
         obj = TermMap(function=_to_function(obj_val, prefixes, name))
+        if obj_val.get("datatype"):
+            datatype = _expand_prefixed(str(obj_val["datatype"]), prefixes)
+        if obj_val.get("language"):
+            _lang(str(obj_val["language"]))
+        if obj_val.get("type"):
+            term_type = _TERM_TYPES.get(str(obj_val["type"]).lower())
     elif isinstance(obj_val, dict) and "value" in obj_val:
         # spec object dict: {value: ..., datatype: ...} / {value, language}
         obj = _to_template(str(obj_val["value"]), prefixes)
         if obj_val.get("datatype"):
             datatype = _expand_prefixed(str(obj_val["datatype"]), prefixes)
         if obj_val.get("language"):
-            language = str(obj_val["language"])
+            _lang(str(obj_val["language"]))
+        if obj_val.get("type"):
+            term_type = _TERM_TYPES.get(str(obj_val["type"]).lower())
     else:
         obj = _to_template(str(obj_val), prefixes)
     if datatype:
         obj.datatype = datatype
     if language:
         obj.language = language
+    if language_map is not None:
+        obj.language_map = language_map
+    if term_type:
+        obj.term_type = term_type
+        if term_type == "IRI":
+            obj = _apply_base(obj, prefixes)
     if pred_val == "a":
         obj.term_type = "IRI"
+        obj = _apply_base(obj, prefixes)
     if isinstance(condition, dict):
         obj = _conditional_object(obj, condition, prefixes, name)
     return PredicateObjectMap(predicate=pred, object=obj, inverse_predicate=inverse_pred)
 
 
-def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> MappingPlan:
+def _substitute_externals(node, externals: dict[str, str]):
+    """YARRRML external references: ``$(_name)`` slots are filled from
+    caller-supplied parameters (the @rmlio parser's -p/--external
+    surface), anywhere a string value appears. Unknown externals stay
+    as-is (they become ``_name`` data references that null out)."""
+    if isinstance(node, str):
+        return _REF_RE.sub(
+            lambda m: externals.get(m.group(1)[1:], m.group(0))
+            if m.group(1).startswith("_")
+            else m.group(0),
+            node,
+        )
+    if isinstance(node, list):
+        return [_substitute_externals(v, externals) for v in node]
+    if isinstance(node, dict):
+        return {k: _substitute_externals(v, externals) for k, v in node.items()}
+    return node
+
+
+def yarrrml_to_plan(
+    doc: str,
+    source_bindings: dict[str, str] | None = None,
+    externals: dict[str, str] | None = None,
+) -> MappingPlan:
     data = yaml.safe_load(doc)
     if not isinstance(data, dict):
         raise YarrrmlError("YARRRML document must be a YAML mapping")
+    if externals:
+        data = _substitute_externals(data, externals)
     prefixes = {**_BUILTIN_PREFIXES, **{k: str(v) for k, v in (data.get("prefixes") or {}).items()}}
+    if data.get("base"):
+        prefixes[_BASE_KEY] = str(data["base"])
     mappings = data.get("mappings") or data.get("mapping")
     if not mappings:
         raise YarrrmlError("YARRRML document has no mappings")
@@ -429,7 +525,7 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
         subj_tm = (
             TermMap(function=_to_function(subj_fn_spec, prefixes, name))
             if subj_fn_spec is not None
-            else _to_template(str(subj_val), prefixes)
+            else _apply_base(_to_template(str(subj_val), prefixes), prefixes)
         )
         # mapping-level condition: the whole mapping emits only for
         # records satisfying it — embedded into the subject exactly as
@@ -479,7 +575,9 @@ def yarrrml_to_plan(doc: str, source_bindings: dict[str, str] | None = None) -> 
                             logical_source=ls,
                             subject_map=SubjectMap(
                                 term_map=subj_tm,
-                                graph_map=_to_template(str(gv), prefixes) if gv is not None else None,
+                                graph_map=_apply_base(_to_template(str(gv), prefixes), prefixes)
+                                if gv is not None
+                                else None,
                                 logical_target=logical_target,
                             ),
                             predicate_object_maps=poms,

@@ -142,3 +142,164 @@ mappings:
     poms = plan.triples_maps[0].predicate_object_maps
     assert len(poms) == 1
     assert poms[0].logical_target.target_id == "urn:yarrrml:target:t1"
+
+
+# ---- YARRRML residual long tail (round 9, VERDICT task #3) -----------------
+
+
+def test_yarrrml_dynamic_language_map():
+    """$(col)~lang with a REFERENCE compiles to rml:languageMap (the
+    constant en~lang shorthand stays static rr:language)."""
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - [ex:name, $(name), $(lang)~lang]
+            - [ex:label, $(name), en~lang]
+            - p: ex:alt
+              o:
+                  value: $(name)
+                  language: $(lang)
+"""
+    plan = yarrrml_to_plan(doc, {"d.json": 'inline:[{"id":"1","name":"x","lang":"fr"}]'})
+    poms = plan.triples_maps[0].predicate_object_maps
+    assert poms[0].object.language_map is not None
+    assert poms[0].object.language_map.reference == "lang"
+    assert poms[0].object.language is None
+    assert poms[1].object.language == "en"
+    assert poms[1].object.language_map is None
+    assert poms[2].object.language_map.reference == "lang"
+
+
+def test_yarrrml_dynamic_language_executes(spark):
+    """End-to-end: the data-derived tag lands in o_lang; an ill-formed
+    tag drops the quad (R2RML data error)."""
+    from rml_utils_processor_ts_spark.operators.executor import PlanExecutor
+
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - [ex:name, $(name), $(lang)~lang]
+"""
+    recs = '[{"id":"1","name":"x","lang":"fr"},{"id":"2","name":"y","lang":"not a tag"}]'
+    plan = yarrrml_to_plan(doc, {"d.json": "inline:" + recs})
+    rows = {(r.s, r.o, r.o_lang) for r in PlanExecutor(spark).execute(plan).triples.collect()}
+    assert rows == {("http://example.org/1", "x", "fr")}
+
+
+def test_yarrrml_function_object_with_annotations():
+    """FnO function object in po value position with datatype/language/
+    type annotations on the same dict."""
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - p: ex:up
+              o:
+                  function: grel:toUpperCase
+                  parameters: [[value, $(name)]]
+                  datatype: xsd:string
+            - p: ex:iri
+              o:
+                  function: grel:toUpperCase
+                  parameters: [[value, $(name)]]
+                  type: iri
+"""
+    plan = yarrrml_to_plan(doc, {"d.json": 'inline:[{"id":"1","name":"x"}]'})
+    poms = plan.triples_maps[0].predicate_object_maps
+    assert poms[0].object.function is not None
+    assert poms[0].object.datatype == "http://www.w3.org/2001/XMLSchema#string"
+    assert poms[1].object.function is not None
+    assert poms[1].object.term_type == "IRI"
+
+
+def test_yarrrml_document_base():
+    """Document-level base: relative subjects/predicates/graphs/typed
+    objects resolve against it."""
+    doc = """
+base: "http://base.example/"
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: person/$(id)
+        graph: g1
+        po:
+            - [a, Person]
+            - [knows, $(id)]
+            - p: ref
+              o:
+                  value: other/$(id)
+                  type: iri
+"""
+    plan = yarrrml_to_plan(doc, {"d.json": 'inline:[{"id":"1"}]'})
+    tm = plan.triples_maps[0]
+    assert tm.subject_map.term_map.template == "http://base.example/person/{id}"
+    assert tm.subject_map.graph_map.constant == "http://base.example/g1"
+    poms = tm.predicate_object_maps
+    assert poms[0].object.constant == "http://base.example/Person"
+    assert poms[1].predicate.constant == "http://base.example/knows"
+    assert poms[2].object.template == "http://base.example/other/{id}"
+    # absolute IRIs untouched
+    assert poms[0].predicate.constant.endswith("#type")
+
+
+def test_yarrrml_external_references():
+    """$(_param) external references substitute from caller parameters;
+    unknown externals stay (and null out as data references)."""
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(_prefix)/$(id)
+        po:
+            - [ex:name, "$(_label) $(name)"]
+            - [ex:keep, $(_unknown)]
+"""
+    plan = yarrrml_to_plan(
+        doc,
+        {"d.json": 'inline:[{"id":"1","name":"x"}]'},
+        externals={"prefix": "person", "label": "L"},
+    )
+    tm = plan.triples_maps[0]
+    assert tm.subject_map.term_map.template == "http://example.org/person/{id}"
+    assert tm.predicate_object_maps[0].object.template == "L {name}"
+    assert tm.predicate_object_maps[1].object.reference == "_unknown"
+
+
+def test_yarrrml_dynamic_language_roundtrip():
+    """languageMap survives plan -> RML Turtle -> plan hash-equal."""
+    from rml_utils_processor_ts_spark.plans.rml_parser import parse_mapping
+    from rml_utils_processor_ts_spark.plans.serializer import plan_to_rml
+
+    doc = """
+prefixes:
+    ex: "http://example.org/"
+mappings:
+    m:
+        sources: [["d.json~jsonpath", "$.[*]"]]
+        s: ex:$(id)
+        po:
+            - [ex:name, $(name), $(lang)~lang]
+"""
+    bindings = {"d.json": 'inline:[{"id":"1","name":"x","lang":"fr"}]'}
+    plan = yarrrml_to_plan(doc, bindings)
+    ttl = plan_to_rml(plan)
+    plan2 = parse_mapping(ttl, bindings)
+    assert plan.plan_hash() == plan2.plan_hash()
