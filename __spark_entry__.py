@@ -1257,11 +1257,20 @@ QUERIES.update(
         # siblings: nquads_lines drives the writer escape chain,
         # rml_ldes_versioned the LDES machinery, kg_predicate_profile
         # the KG-QA triple source.
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_index_topk": q_ann_lsh_index_topk,
-        "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "sample_by_hash": q_sample_by_hash,
+        # round-9 rotation (r8 VERDICT #4): the four longest-unexposed
+        # twins come back through the gate — contamination_check,
+        # paragraph_dedup, url_normalize_dedup (last driver-gated r6)
+        # and dedup_minhash_signatures (r5). The freed slots are the
+        # four ANN LSH/IVF variants, which banked their first green
+        # driver rows in r8 and whose kernels stay driver-covered:
+        # ann_cosine_topk drives the cosine scoring, the index variants
+        # return their non-index twins' rows by construction, and all
+        # four stay strict-local-checked as EXTRA_QUERIES.
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "url_normalize_dedup": q_url_normalize_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "contamination_check": q_contamination_check,
     }
 )
 
@@ -1271,10 +1280,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_ldes_base_iri": q_rml_ldes_base_iri,
     "kg_iri_audit": q_kg_iri_audit,
     "kg_orphan_objects": q_kg_orphan_objects,
-    "dedup_minhash_signatures": q_dedup_minhash_signatures,
-    "url_normalize_dedup": q_url_normalize_dedup,
-    "paragraph_dedup": q_paragraph_dedup,
-    "contamination_check": q_contamination_check,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_index_topk": q_ann_lsh_index_topk,
+    "ann_ivf_index_topk": q_ann_ivf_index_topk,
 }
 
 
