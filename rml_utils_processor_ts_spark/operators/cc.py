@@ -2,20 +2,40 @@
 canonicalization kernel (north_rule: "canonicalization via iterative
 connected-components over a salted, hash-partitioned edge DataFrame").
 
-Algorithm: alternating large-star / small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
-pure DataFrame ops; the driver loop only checks a convergence count.
+Two loop structures, selected by ``algorithm``:
+
+  * ``hashmin`` (default) — hash-to-min label propagation with pointer
+    jumping (Rastogi et al., "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds", ICDE'13 family): a static
+    symmetric edge table plus a (node, comp) label table; each round
+    propagates the neighborhood min into the labels (one join + one
+    groupBy) then pointer-jumps comp := comp(comp) (one self-join).
+    Converges in O(log d) rounds via doubling. Measured 1.6-2.1x
+    faster than the star loop on both the gated sf0.1 graph and the
+    4.1M-edge chain+hub stress (tools/cc_experiment.py, r9) — fewer
+    per-round jobs (1 materialization vs 2, no per-round distincts).
+  * ``star`` — alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). The edge
+    set SHRINKS every round, which wins on dense graphs whose
+    contracted remnant collapses quickly; kept selectable for that
+    regime and as the independent oracle for the hashmin loop.
 
 Scale notes:
-  * Each round is two shuffles keyed by node id; AQE handles skew-join
-    splitting for hot hubs, and the large-star step itself breaks star
-    hubs (every spoke relinks to the component min in one round). For
-    pre-join hot-key splitting see operators/skew.py.
-  * `localCheckpoint` every round truncates the lineage so the plan
+  * hashmin rounds are two hash-shuffles (edge join on node id, label
+    groupBy) plus one self-join keyed by component id. A giant
+    component makes that jump join skewed on its comp key — AQE
+    skew-join splitting handles it (the 100k-spoke hub stress
+    exercises exactly this shape). For pre-join hot-key splitting see
+    operators/skew.py.
+  * The edge table is materialized ONCE (hashmin) — per-round shuffle
+    volume is |E| + |V|, vs the star loop's shrinking-but-rewritten
+    edge set. Labels are (node, comp) pairs: |V| rows regardless of
+    round.
+  * `localCheckpoint` between rounds truncates the lineage so the plan
     doesn't grow exponentially across iterations (a known failure mode
     of iterative DataFrame jobs).
-  * Convergence in O(log^2 n) rounds; components labeled by min node id
-    (deterministic).
+  * Components labeled by min node id (deterministic; string
+    comparison if ids are strings).
 """
 
 from __future__ import annotations
@@ -88,10 +108,19 @@ def _min_neighbor(e: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25, algorithm: str = "hashmin"
+) -> DataFrame:
     """edges(src,dst) -> (node, component) with component = min node id
     in the component (string comparison if ids are strings — callers
-    should zero-pad or cast for numeric semantics)."""
+    should zero-pad or cast for numeric semantics).
+
+    ``algorithm``: "hashmin" (default, label propagation + pointer
+    jumping) or "star" (alternating large/small star contraction) —
+    identical output, different round structure (see module docstring).
+    """
+    if algorithm not in ("hashmin", "star"):
+        raise ValueError(f"unknown cc algorithm: {algorithm!r}")
     spark = edges.sparkSession
     # Root cause of the sporadic localCheckpoint crashes in this loop:
     # UnionBase.rewriteConstraints (constraint propagation across union
@@ -99,7 +128,65 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     # Spark 4.1.2). Constraints buy nothing for this loop's plans (no
     # filters to infer), so disable propagation for its duration.
     with constraint_propagation_disabled(spark):
-        return _cc_loop(edges, max_iterations)
+        if algorithm == "star":
+            return _cc_loop(edges, max_iterations)
+        return _cc_loop_hashmin(edges, max_iterations)
+
+
+def _cc_loop_hashmin(edges: DataFrame, max_iterations: int) -> DataFrame:
+    e = _materialize(_canonical_edges(edges))
+    sym = _materialize(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    # labels seeded with min(node, min neighbor) — one round of
+    # propagation for free, and every node of sym is covered
+    lab = _materialize(
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mn")).alias("comp"),
+        )
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        # propagate: comp'(v) = min(comp(v), min over neighbors comp(u))
+        upd = sym.join(lab, sym["u"] == lab["node"]).select(
+            F.col("v").alias("node"), F.col("comp")
+        )
+        lab2 = (
+            lab.select("node", "comp")
+            .union(upd)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp''(v) = comp'(comp'(v)) — doubling keeps the
+        # round count logarithmic in component diameter. Alias-qualified
+        # refs: derived-frame df["col"] mis-resolves on self-joins.
+        m = lab2.select(F.col("node").alias("jn"), F.col("comp").alias("jc"))
+        lab = _materialize(
+            lab2.alias("L")
+            .join(m.alias("R"), F.col("L.comp") == F.col("R.jn"), "left")
+            .select(
+                F.col("L.node").alias("node"),
+                F.least(
+                    F.col("L.comp"),
+                    F.coalesce(F.col("R.jc"), F.col("L.comp")),
+                ).alias("comp"),
+            )
+        )
+        # fixpoint = identical label set two rounds running; the
+        # (count, order-independent hash) signature is one cheap agg
+        # over the already-checkpointed labels
+        sig_row = lab.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(node, comp))").alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return lab.select("node", F.col("comp").alias("component"))
 
 
 # round index from which the stable-signature safety net starts running

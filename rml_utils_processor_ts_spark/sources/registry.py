@@ -283,7 +283,15 @@ def _json_iter_records(doc: str, iterator: str, refs: list[str]) -> list[dict]:
         elements = data if isinstance(data, list) else [data]
     elif it in ("$.[*]", "$[*]", "$.*"):
         elements = data if isinstance(data, list) else list(data.values()) if isinstance(data, dict) else []
-    elif it.endswith("[*]") and it.startswith("$.") and "[" not in it[2:-3]:
+    elif (
+        it.endswith("[*]")
+        and it.startswith("$.")
+        and "[" not in it[2:-3]
+        and "." not in it[2:-3]  # `$..key[*]` (recursive descent) must
+        # NOT take this branch: key would be ".key" and data.get(".key")
+        # silently yielded zero records (r9) — dotted/descent paths
+        # belong to the jsonpath_ng fallback
+    ):
         key = it[2:-3]
         sub = data.get(key) if isinstance(data, dict) else None
         elements = sub if isinstance(sub, list) else []

@@ -303,3 +303,111 @@ mappings:
     ttl = plan_to_rml(plan)
     plan2 = parse_mapping(ttl, bindings)
     assert plan.plan_hash() == plan2.plan_hash()
+
+
+# ---------------------------------------------------------------------------
+# CC: hashmin default vs star loop (r9 round-structure change)
+# ---------------------------------------------------------------------------
+
+
+def test_cc_hashmin_equals_star_on_pseudorandom_graph(spark):
+    """Both loop structures must produce the identical (node, component)
+    labeling — the star loop doubles as an independent oracle for the
+    new hashmin default (tools/cc_experiment.py measured them equal on
+    the 4.1M-edge stress; this pins it in CI on a mixed graph)."""
+    import hashlib
+
+    from rml_utils_processor_ts_spark.operators.cc import connected_components
+
+    edges = []
+    for i in range(400):
+        h = int(hashlib.md5(f"r9e{i}".encode()).hexdigest()[:8], 16)
+        a, b = f"n{h % 200:04d}", f"n{(h // 200) % 200:04d}"
+        if a != b:
+            edges.append((a, b))
+    edges += [("hub", f"n{i:04d}") for i in range(30)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got_h = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    got_s = {
+        (r["node"], r["component"])
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert got_h == got_s and got_h
+
+
+def test_cc_hashmin_deep_chain_within_round_budget(spark):
+    """A 200-deep chain converges under the default max_iterations via
+    pointer doubling (O(log d) rounds, not O(d))."""
+    from rml_utils_processor_ts_spark.operators.cc import connected_components
+
+    edges = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert set(comp.values()) == {"c0000"}
+    assert len(comp) == 201
+
+
+def test_cc_unknown_algorithm_raises(spark):
+    import pytest as _pytest
+
+    from rml_utils_processor_ts_spark.operators.cc import connected_components
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError, match="unknown cc algorithm"):
+        connected_components(df, algorithm="bogus")
+
+
+# ---------------------------------------------------------------------------
+# JSONPath: recursive-descent / dotted iterators fell into the key fast
+# path and silently yielded zero records (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_json_iterator_recursive_descent_and_dotted():
+    import json as _json
+
+    from rml_utils_processor_ts_spark.sources.registry import _json_iter_records
+
+    doc = _json.dumps(
+        {
+            "a": {"items": [{"id": "1", "name": "x"}, {"id": "2", "name": "y"}]},
+            "b": {"items": [{"id": "3", "name": "z"}]},
+        }
+    )
+    recs = _json_iter_records(doc, "$..items[*]", ["id"])
+    assert sorted(r[next(iter(r))] for r in recs) == ["1", "2", "3"]
+    recs = _json_iter_records(doc, "$.a.items[*]", ["name"])
+    assert sorted(r[next(iter(r))] for r in recs) == ["x", "y"]
+    # plain top-level-key form keeps the stdlib fast branch
+    doc2 = _json.dumps({"items": [{"id": "9"}]})
+    assert [r[next(iter(r))] for r in _json_iter_records(doc2, "$.items[*]", ["id"])] == ["9"]
+
+
+def test_rml_jsonpath_recursive_descent_mapping(spark):
+    """End-to-end: an RML mapping whose iterator uses $.. recursive
+    descent produces triples from every nested match."""
+    from rml_utils_processor_ts_spark.operators.executor import execute_mapping
+
+    data = (
+        '{"east": {"items": [{"id": "1"}, {"id": "2"}]},'
+        ' "west": {"items": [{"id": "3"}]}}'
+    )
+    data = data.replace('"', '\\"')
+    mapping = f"""
+ex:m a rr:TriplesMap ;
+    rml:logicalSource [ a rml:LogicalSource ;
+        rml:source "inline:{data}" ;
+        rml:iterator "$..items[*]" ;
+        rml:referenceFormulation ql:JSONPath ] ;
+    rr:subjectMap [ a rr:SubjectMap ; rr:template "http://example.org/{{id}}" ] ;
+    rr:predicateObjectMap [
+        rr:predicateMap [ rr:constant rdfs:label ] ;
+        rr:objectMap [ rml:reference "id" ; rr:termType rr:Literal ] ] .
+"""
+    triples = execute_mapping(spark, mapping).triples
+    got = sorted(r["s"] for r in triples.collect())
+    assert got == [
+        "http://example.org/1",
+        "http://example.org/2",
+        "http://example.org/3",
+    ]
