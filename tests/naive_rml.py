@@ -32,7 +32,13 @@ MappingSpec structure (plain dicts, hypothesis-friendly):
     TermSpec = {"kind": "constant_iri" | "constant_lit" | "reference" | "template",
                 "value": str,
                 "termtype": None | "IRI" | "Literal" | "BlankNode",
-                "datatype": None | iri, "language": None | tag}
+                "datatype": None | iri, "language": None | tag,
+                # data-derived variants (newer RML spec): reference names
+                "language_map": None | ref, "datatype_map": None | ref}
+
+    POMs may carry LISTS of predicates/objects (R2RML §6.3: the POM's
+    triples are the m x n cross product) — single TermSpecs are treated
+    as one-element lists.
 
 Output: set of 9-tuples matching the engine's TRIPLE_COLUMNS —
 (s, s_termtype, p, o, o_termtype, o_datatype, o_lang, g, target_id).
@@ -52,6 +58,13 @@ _BAD_RX = re.compile("[\x00-\x20<>\"{}|^`\\\\]")
 
 # R2RML §7.3 template grammar: \\ \{ \} are literal, {name} is a placeholder
 _TPL_TOKEN_RX = re.compile(r"\\([\\{}])|\{([^{}]+)\}")
+
+# BCP47 language-tag shape (1-8 char subtags). The engine validates
+# data-derived rml:languageMap values against this same production
+# (plans/model.py LANGTAG_PATTERN) — R2RML only says rr:language must
+# be a valid [BCP47] tag, so the 8-char subtag bound is the spec's,
+# not an engine invention; implemented here from the BCP47 ABNF.
+_LANGTAG_RX = re.compile(r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$")
 
 _INT_RX = re.compile(r"^[+-]?[0-9]+$")
 _DEC_RX = re.compile(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$")
@@ -123,7 +136,14 @@ def effective_termtype(t: dict, position: str) -> str:
     if position in ("subject", "predicate", "graph"):
         return "IRI"
     if position == "object":
-        if t.get("language") or t.get("datatype"):
+        # §7.4.1: a term map carrying language/datatype (static OR
+        # data-derived map form) defaults to rr:Literal
+        if (
+            t.get("language")
+            or t.get("datatype")
+            or t.get("language_map")
+            or t.get("datatype_map")
+        ):
             return "Literal"
         k = t["kind"]
         if k == "reference" or k == "constant_lit":
@@ -230,6 +250,16 @@ def _object_value(t: dict, rec: dict):
     v, tt = got
     dt = t.get("datatype")
     lang = t.get("language")
+    if t.get("datatype_map"):
+        # data-derived datatype: the record value IS o_datatype; null ->
+        # plain literal (termtype stays Literal, set statically)
+        dt = json_value_str(rec.get(t["datatype_map"]))
+    if t.get("language_map"):
+        # data-derived language tag: null -> plain literal; a non-null
+        # ILL-FORMED tag is an R2RML data error -> the quad drops
+        lang = json_value_str(rec.get(t["language_map"]))
+        if lang is not None and not _LANGTAG_RX.match(lang):
+            return None
     if tt == "Literal" and dt in _CANON:
         v = _CANON[dt](v)
     return v, tt, dt, lang
@@ -292,10 +322,16 @@ def evaluate(spec: dict) -> set[tuple]:
                 for g in _graphs_for(tm, None, rec):
                     quads.add((s, s_tt, RDF_TYPE, cls, "IRI", None, None, g, "default"))
             for pom in tm["poms"]:
-                p_got = _term_or_drop(pom["predicate"], rec, "predicate")
-                if p_got is None:
+                # §6.3: a POM's triples are predicates x objects; the
+                # fuzz may pass a single "predicate"/"object" or lists
+                pred_specs = pom.get("predicates") or [pom["predicate"]]
+                p_vals = []
+                for ps in pred_specs:
+                    p_got = _term_or_drop(ps, rec, "predicate")
+                    if p_got is not None:
+                        p_vals.append(p_got[0])
+                if not p_vals:
                     continue
-                p = p_got[0]
                 if pom.get("join"):
                     j = pom["join"]
                     parent = tms[j["parent"]]
@@ -307,7 +343,8 @@ def evaluate(spec: dict) -> set[tuple]:
                         if po_got is None:
                             continue
                         for g in _graphs_for(tm, pom.get("graph"), rec):
-                            quads.add((s, s_tt, p, po_got[0], parent_tt, None, None, g, "default"))
+                            for p in p_vals:
+                                quads.add((s, s_tt, p, po_got[0], parent_tt, None, None, g, "default"))
                         continue
                     ck = [
                         eval_term({"kind": "reference", "value": cr}, rec, "value")
@@ -326,12 +363,16 @@ def evaluate(spec: dict) -> set[tuple]:
                         if po_got is None:
                             continue
                         for g in _graphs_for(tm, pom.get("graph"), rec):
-                            quads.add((s, s_tt, p, po_got[0], parent_tt, None, None, g, "default"))
+                            for p in p_vals:
+                                quads.add((s, s_tt, p, po_got[0], parent_tt, None, None, g, "default"))
                     continue
-                o_got = _object_value(pom["object"], rec)
-                if o_got is None:
-                    continue
-                o, o_tt, o_dt, o_lang = o_got
-                for g in _graphs_for(tm, pom.get("graph"), rec):
-                    quads.add((s, s_tt, p, o, o_tt, o_dt, o_lang, g, "default"))
+                obj_specs = pom.get("objects") or [pom["object"]]
+                for os_ in obj_specs:
+                    o_got = _object_value(os_, rec)
+                    if o_got is None:
+                        continue
+                    o, o_tt, o_dt, o_lang = o_got
+                    for g in _graphs_for(tm, pom.get("graph"), rec):
+                        for p in p_vals:
+                            quads.add((s, s_tt, p, o, o_tt, o_dt, o_lang, g, "default"))
     return quads

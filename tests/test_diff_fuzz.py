@@ -14,7 +14,11 @@ canonical forms (boolean/integer/decimal/double), language tags, class
 triples, subject- and POM-level graph maps with the §11.1 union,
 referencing-object-map joins (equi-join, multi-condition, same-row
 condition-less §11) and null join keys, multi-TriplesMap docs over
-shared sources (the engine's fusion path), and set-dedup.
+shared sources (the engine's fusion path), and set-dedup. Round 9
+additions: data-derived rml:languageMap (null -> plain literal,
+ill-formed tag -> quad drop) and rml:datatypeMap (runtime-CASE
+canonicalization), §6.3 predicate/object lists (m x n cross product),
+and multi-predicate JOIN POMs (the grouped single-join compile).
 
 First catch (pre-wiring probe): a template PREDICATE with a null
 reference emitted a quad with p = NULL instead of no triple —
@@ -55,17 +59,28 @@ _text = st.text(
                            max_codepoint=0xD7FF),
     max_size=6,
 )
+# language-tag-ish and datatype-IRI values so the languageMap /
+# datatypeMap branches bite (valid tags, ill-formed tags, subtag
+# over the BCP47 8-char bound, canonicalizable + custom datatypes)
+_mapish = st.sampled_from(
+    ["en", "en-US", "fr-CA", "de-DE-1996", "x", "not a tag",
+     "abcdefghi", "en_US", _XSD + "integer", _XSD + "boolean",
+     _XSD + "decimal", _XSD + "double", _XSD + "string",
+     "http://ex.org/customtype"]
+)
 _value = st.one_of(
-    st.none(), _special, _numericish, _text,
+    st.none(), _special, _numericish, _text, _mapish,
     st.integers(-10**9, 10**9), st.booleans(),
 )
 _record = st.dictionaries(st.sampled_from(REFS), _value, max_size=3)
 _records = st.lists(_record, min_size=0, max_size=4)
 
 
-def _term(kind, value, termtype=None, datatype=None, language=None):
+def _term(kind, value, termtype=None, datatype=None, language=None,
+          language_map=None, datatype_map=None):
     return {"kind": kind, "value": value, "termtype": termtype,
-            "datatype": datatype, "language": language}
+            "datatype": datatype, "language": language,
+            "language_map": language_map, "datatype_map": datatype_map}
 
 
 _subject_term = st.one_of(
@@ -104,6 +119,14 @@ _object_term = st.one_of(
               st.sampled_from(["plain value", "x y", "12"])),
     st.builds(_term, st.just("constant_iri"),
               st.sampled_from(GOOD_IRIS + BAD_IRIS)),
+    # data-derived language tag (rml:languageMap): null -> plain
+    # literal, ill-formed tag -> quad drops
+    st.builds(_term, st.just("reference"), st.sampled_from(REFS),
+              language_map=st.sampled_from(REFS)),
+    # data-derived datatype (rml:datatypeMap): the record value IS
+    # o_datatype; canonicalization becomes a runtime CASE
+    st.builds(_term, st.just("reference"), st.sampled_from(REFS),
+              datatype_map=st.sampled_from(REFS)),
 )
 _subject_graph = st.one_of(
     st.none(),
@@ -119,6 +142,14 @@ _pom_graph = st.one_of(
 
 @st.composite
 def _plain_pom(draw):
+    # ~half the POMs carry §6.3 predicate/object LISTS (the POM's
+    # triples are the m x n cross product)
+    if draw(st.booleans()):
+        return {"predicates": draw(st.lists(_predicate_term, min_size=1,
+                                            max_size=2)),
+                "objects": draw(st.lists(_object_term, min_size=1,
+                                         max_size=2)),
+                "graph": draw(_pom_graph), "join": None}
     return {"predicate": draw(_predicate_term), "object": draw(_object_term),
             "graph": draw(_pom_graph), "join": None}
 
@@ -153,9 +184,13 @@ def _mapping_spec(draw):
             conditions = draw(st.lists(
                 st.tuples(st.sampled_from(REFS), st.sampled_from(REFS)),
                 min_size=1, max_size=2))
+        # multi-predicate join POMs exercise the grouped single-join
+        # compile (one child x parent join, per-variant payload)
+        join_preds = [_term("constant_iri", "http://ex.org/ref")]
+        if draw(st.booleans()):
+            join_preds.append(_term("constant_iri", "http://ex.org/ref2"))
         tms[0]["poms"].append({
-            "predicate": {"kind": "constant_iri", "value": "http://ex.org/ref",
-                          "termtype": None, "datatype": None, "language": None},
+            "predicates": join_preds,
             "object": None,
             "graph": draw(_pom_graph),
             "join": {"parent": parent, "conditions": conditions},
@@ -187,6 +222,14 @@ def _render_term(t: dict) -> str:
         parts.append(f'rr:datatype <{t["datatype"]}>')
     if t.get("language"):
         parts.append(f'rr:language "{t["language"]}"')
+    if t.get("language_map"):
+        parts.append(
+            f'rml:languageMap [ rml:reference "{_ttl_esc(t["language_map"])}" ]'
+        )
+    if t.get("datatype_map"):
+        parts.append(
+            f'rml:datatypeMap [ rml:reference "{_ttl_esc(t["datatype_map"])}" ]'
+        )
     return " ; ".join(parts)
 
 
@@ -205,7 +248,10 @@ def render_mapping(spec: dict) -> tuple[str, dict[str, str]]:
         head.append(f'  rr:subjectMap [ {" ; ".join(s_parts)} ]')
         pom_lines = []
         for pom in tm["poms"]:
-            p = f'rr:predicateMap [ {_render_term(pom["predicate"])} ]'
+            pred_specs = pom.get("predicates") or [pom["predicate"]]
+            p = " ; ".join(
+                f"rr:predicateMap [ {_render_term(ps)} ]" for ps in pred_specs
+            )
             if pom["join"] is not None:
                 parent = spec["tms"][pom["join"]["parent"]]["name"]
                 conds = "".join(
@@ -214,7 +260,10 @@ def render_mapping(spec: dict) -> tuple[str, dict[str, str]]:
                 )
                 o = f"rr:objectMap [ rr:parentTriplesMap ex:{parent}{conds} ]"
             else:
-                o = f'rr:objectMap [ {_render_term(pom["object"])} ]'
+                obj_specs = pom.get("objects") or [pom["object"]]
+                o = " ; ".join(
+                    f"rr:objectMap [ {_render_term(os_)} ]" for os_ in obj_specs
+                )
             g = (f' ; rr:graphMap [ {_render_term(pom["graph"])} ]'
                  if pom.get("graph") else "")
             pom_lines.append(f"  rr:predicateObjectMap [ {p} ; {o}{g} ]")
@@ -327,6 +376,38 @@ CORPUS = {
                     "poms": [{"predicate": _term("constant_iri", "http://ex.org/b"),
                               "object": _term("reference", "k0"),
                               "graph": None, "join": None}]}],
+    ),
+    "language_map_tags": _spec(
+        _term("template", "http://s.org/{k0}"),
+        [{"predicate": _term("constant_iri", "http://ex.org/a"),
+          "object": _term("reference", "k1", language_map="k2"),
+          "graph": None, "join": None}],
+        sources={"s0": [{"k0": "1", "k1": "v1", "k2": "en"},
+                        {"k0": "2", "k1": "v2", "k2": "not a tag"},
+                        {"k0": "3", "k1": "v3"},
+                        {"k0": "4", "k1": "v4", "k2": "abcdefghi"},
+                        {"k0": "5", "k1": "v5", "k2": "fr-CA"},
+                        {"k0": "6", "k1": "v6", "k2": ""}]},
+    ),
+    "datatype_map_runtime_canon": _spec(
+        _term("template", "http://s.org/{k0}"),
+        [{"predicate": _term("constant_iri", "http://ex.org/a"),
+          "object": _term("reference", "k1", datatype_map="k2"),
+          "graph": None, "join": None}],
+        sources={"s0": [{"k0": "1", "k1": "007", "k2": _XSD + "integer"},
+                        {"k0": "2", "k1": "20.0", "k2": _XSD + "double"},
+                        {"k0": "3", "k1": "05.10", "k2": _XSD + "decimal"},
+                        {"k0": "4", "k1": "1", "k2": _XSD + "boolean"},
+                        {"k0": "5", "k1": "007", "k2": "http://ex.org/custom"},
+                        {"k0": "6", "k1": "007"}]},
+    ),
+    "pom_cross_product": _spec(
+        _term("template", "http://s.org/{k0}"),
+        [{"predicates": [_term("constant_iri", "http://ex.org/p1"),
+                         _term("template", "http://p.org/{k1}")],
+          "objects": [_term("reference", "k1"),
+                      _term("constant_lit", "x y")],
+          "graph": _term("constant_iri", "http://g.org/g1"), "join": None}],
     ),
     "bnode_and_escapes": _spec(
         _term("template", "b{k0}", "BlankNode"),
