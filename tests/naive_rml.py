@@ -271,9 +271,9 @@ def _graphs_for(tm: dict, pom_graph: dict | None, rec: dict):
     None). A subject graph map evaluating to null contributes nothing
     (§11.1 literal reading: the empty union falls back to the default
     graph). A POM-level graph map that evaluates to null DROPS that
-    graph copy (the engine's documented data-error choice; the fuzz
-    generates only constant POM graph maps, so the ambiguity vs the
-    §11.1 empty-union reading is never exercised). An invalid-IRI graph
+    graph copy while a subject-graph copy survives (the engine's
+    choice, probed directly in r9 and exercised by the fuzz's template
+    POM graphs). An invalid-IRI graph
     value is a data error -> that quad copy drops. Returns a list of
     graph values (None = default graph), or None when every copy
     dropped."""

@@ -137,6 +137,11 @@ _subject_graph = st.one_of(
 _pom_graph = st.one_of(
     st.none(),
     st.builds(_term, st.just("constant_iri"), st.sampled_from(GRAPH_IRIS)),
+    # template POM graphs: a null reference drops that graph COPY while
+    # a subject-graph copy survives — engine choice probed directly
+    # (r9) and mirrored in naive_rml._graphs_for
+    st.builds(_term, st.just("template"),
+              st.sampled_from(["http://g.org/{k1}", "badg {k0}"])),
 )
 
 
