@@ -833,6 +833,125 @@ ex:sport a rr:TriplesMap ;
             (EX + "10", "IRI", FOAF + "name", "Venus", "Literal", None, None, None),
         },
     ),
+    (
+        "RMLTC0016-datatypeMap-theme",
+        "data-derived rml:datatypeMap: record value becomes the datatype, "
+        "canonicalization applies at runtime, null value -> plain literal",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; rr:objectMap [ "
+            'rml:reference "Val" ; rml:datatypeMap [ rml:reference "Dt" ] ] ]'
+        ),
+        {"d.json": "inline:" + (
+            '[{"Id": "1", "Val": "007", "Dt": "http://www.w3.org/2001/XMLSchema#integer"},'
+            ' {"Id": "2", "Val": "20.0", "Dt": "http://www.w3.org/2001/XMLSchema#double"},'
+            ' {"Id": "3", "Val": "007", "Dt": "http://example.com/custom"},'
+            ' {"Id": "4", "Val": "007"}]'
+        )},
+        {
+            (EX + "1", "IRI", FOAF + "name", "7", "Literal", XSD + "integer", None, None),
+            (EX + "2", "IRI", FOAF + "name", "2.0E1", "Literal", XSD + "double", None, None),
+            (EX + "3", "IRI", FOAF + "name", "007", "Literal", EX + "custom", None, None),
+            (EX + "4", "IRI", FOAF + "name", "007", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0015-languageMap-theme",
+        "data-derived rml:languageMap: valid tag attaches, null -> plain "
+        "literal, ill-formed tag is a data error (quad drops)",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; rr:objectMap [ "
+            'rml:reference "Val" ; rml:languageMap [ rml:reference "Lang" ] ] ]'
+        ),
+        {"d.json": "inline:" + (
+            '[{"Id": "1", "Val": "cat", "Lang": "en"},'
+            ' {"Id": "2", "Val": "gato", "Lang": "es-MX"},'
+            ' {"Id": "3", "Val": "chat"},'
+            ' {"Id": "4", "Val": "bad", "Lang": "not a tag"},'
+            ' {"Id": "5", "Val": "bad2", "Lang": "abcdefghi"}]'
+        )},
+        {
+            (EX + "1", "IRI", FOAF + "name", "cat", "Literal", None, "en", None),
+            (EX + "2", "IRI", FOAF + "name", "gato", "Literal", None, "es-MX", None),
+            (EX + "3", "IRI", FOAF + "name", "chat", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0002-jsonpath-descent-theme",
+        "recursive-descent iterator $..items[*] explodes every nested match",
+        (
+            "ex:m a rr:TriplesMap ;\n"
+            '  rml:logicalSource [ rml:source "d.json" ; rml:iterator "$..items[*]" ; '
+            "rml:referenceFormulation ql:JSONPath ] ;\n"
+            '  rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; "
+            'rr:objectMap [ rml:reference "Name" ] ] .\n'
+        ),
+        {"d.json": "inline:" + (
+            '{"east": {"items": [{"Id": "1", "Name": "a"}]},'
+            ' "west": {"deep": {"items": [{"Id": "2", "Name": "b"}]}}}'
+        )},
+        {
+            (EX + "1", "IRI", FOAF + "name", "a", "Literal", None, None, None),
+            (EX + "2", "IRI", FOAF + "name", "b", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0004c-null-predicate-theme",
+        "data-dependent predicate map over a null reference produces NO "
+        "triple (R2RML data error), not a NULL-predicate quad",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicateMap [ rr:template "
+            '"http://example.com/p/{PName}" ] ; rr:objectMap [ rml:reference "Val" ] ]'
+        ),
+        {"d.json": "inline:" + (
+            '[{"Id": "1", "PName": "x", "Val": "v1"},'
+            ' {"Id": "2", "Val": "v2"}]'
+        )},
+        {
+            (EX + "1", "IRI", EX + "p/x", "v1", "Literal", None, None, None),
+        },
+    ),
+    (
+        "RMLTC0007j-null-pom-graph-theme",
+        "POM template graph map over a null reference drops that graph "
+        "copy; a subject-graph copy survives",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ; '
+            "rr:graphMap [ rr:constant <http://example.com/sg> ] ] ;\n"
+            "  rr:predicateObjectMap [ rr:predicate foaf:name ; "
+            'rr:objectMap [ rml:reference "Val" ] ; '
+            'rr:graphMap [ rr:template "http://example.com/g/{G}" ] ]'
+        ),
+        {"d.json": "inline:" + (
+            '[{"Id": "1", "Val": "a", "G": "g1"}, {"Id": "2", "Val": "b"}]'
+        )},
+        {
+            (EX + "1", "IRI", FOAF + "name", "a", "Literal", None, None, EX + "sg"),
+            (EX + "1", "IRI", FOAF + "name", "a", "Literal", None, None, EX + "g/g1"),
+            (EX + "2", "IRI", FOAF + "name", "b", "Literal", None, None, EX + "sg"),
+        },
+    ),
+    (
+        "RMLTC0006-pom-lists-theme",
+        "R2RML §6.3: multiple predicateMaps x objectMaps in ONE POM emit "
+        "the full cross product",
+        _m(
+            'rr:subjectMap [ rr:template "http://example.com/{Id}" ] ;\n'
+            "  rr:predicateObjectMap [ rr:predicateMap [ rr:constant foaf:name ] ; "
+            "rr:predicateMap [ rr:constant foaf:nick ] ; "
+            'rr:objectMap [ rml:reference "A" ] ; rr:objectMap [ rml:reference "B" ] ]'
+        ),
+        {"d.json": "inline:" + '[{"Id": "1", "A": "x", "B": "y"}]'},
+        {
+            (EX + "1", "IRI", FOAF + "name", "x", "Literal", None, None, None),
+            (EX + "1", "IRI", FOAF + "name", "y", "Literal", None, None, None),
+            (EX + "1", "IRI", FOAF + "nick", "x", "Literal", None, None, None),
+            (EX + "1", "IRI", FOAF + "nick", "y", "Literal", None, None, None),
+        },
+    ),
 ]
 
 
