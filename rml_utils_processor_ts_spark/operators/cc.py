@@ -148,7 +148,6 @@ def _cc_loop_hashmin(edges: DataFrame, max_iterations: int) -> DataFrame:
             F.least(F.col("u"), F.col("mn")).alias("comp"),
         )
     )
-    prev_sig = None
     for _ in range(max_iterations):
         # propagate: comp'(v) = min(comp(v), min over neighbors comp(u))
         upd = sym.join(lab, sym["u"] == lab["node"]).select(
@@ -175,17 +174,25 @@ def _cc_loop_hashmin(edges: DataFrame, max_iterations: int) -> DataFrame:
                 ).alias("comp"),
             )
         )
-        # fixpoint = identical label set two rounds running; the
-        # (count, order-independent hash) signature is one cheap agg
-        # over the already-checkpointed labels
-        sig_row = lab.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(node, comp))").alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
+        # Convergence = edge-consistency: comp(u) == comp(v) on EVERY
+        # edge. That alone certifies the min labeling — label values
+        # are always ids of same-component nodes (so >= the component
+        # min m, by induction over seed/propagate/jump), a consistent
+        # labeling is constant per component, and the constant c* is a
+        # member with comp(c*) = c* <= c* forced down to m because
+        # comp(m) <= m. Detects the fixpoint AT the converged round —
+        # one full round earlier than waiting for two identical label
+        # signatures (r9, probe on the u<v half-edge set, early-out
+        # via limit 1).
+        inconsistent = (
+            e.join(lab.alias("A"), e["u"] == F.col("A.node"))
+            .join(lab.alias("B"), e["v"] == F.col("B.node"))
+            .filter(F.col("A.comp") != F.col("B.comp"))
+            .limit(1)
+            .count()
+        )
+        if inconsistent == 0:
             break
-        prev_sig = sig
     return lab.select("node", F.col("comp").alias("component"))
 
 
