@@ -50,6 +50,16 @@ def _exec(spark: SparkSession, mapping: str, **kw):
     return execute_mapping(spark, mapping, **kw)
 
 
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with map-side parallelism rescue for tiny inputs
+    (ioutil.spread_small_scan): the sandbox test tables are single-file,
+    single-row-group parquets that would otherwise scan as ONE task."""
+    from rml_utils_processor_ts_spark.ioutil import read_parquet_spread
+
+    return read_parquet_spread(spark, path)
+
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -205,7 +215,7 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic snapshots of the orders table."""
     from rml_utils_processor_ts_spark.operators.cdc import cdc_diff
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet")
     state = orders.filter(F.col("o_orderkey") % 4 != 0).select(
         F.col("o_orderkey").cast("string").alias("iri"),
         F.md5(F.col("o_orderstatus")).alias("watched_hash"),
@@ -222,14 +232,14 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.dedup import exact_duplicate_groups
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return exact_duplicate_groups(docs)
 
 
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.dedup import minhash_signatures
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return minhash_signatures(docs, num_hashes=4)
 
 
@@ -238,21 +248,21 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is checked by the signature query; this one is rows-only)."""
     from rml_utils_processor_ts_spark.operators.dedup import minhash_dedup_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return minhash_dedup_pairs(docs, threshold=0.2)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.dedup import jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return jaccard_pairs(docs, threshold=0.12, block_col="source")
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.dedup import embedding_neardup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return embedding_neardup_pairs(emb, threshold=0.3)
@@ -265,7 +275,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, deduped before the exact-cosine verify)."""
     from rml_utils_processor_ts_spark.operators.dedup import embedding_neardup_pairs_lsh
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return embedding_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4, n_bands=2)
@@ -274,7 +284,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
@@ -283,14 +293,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.text import text_profile
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return text_profile(docs)
 
 
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute windowed aggregation (the batch view of the
     Structured-Streaming query in streaming/windows.py)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     return (
         events.groupBy(
             F.window("ts", "5 minutes").alias("w"), "event_type"
@@ -310,8 +320,8 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer->nation + order->customer edge graph."""
     from rml_utils_processor_ts_spark.operators.cc import connected_components
 
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = _read(spark, f"{sf_dir}/customer.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet")
     e1 = customer.select(
         F.format_string("c:%08d", F.col("c_custkey")).alias("src"),
         F.format_string("n:%08d", F.col("c_nationkey")).alias("dst"),
@@ -327,7 +337,7 @@ def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast alias-dictionary linking: part brand mentions -> brand IRIs."""
     from rml_utils_processor_ts_spark.operators.linking import link_exact
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _read(spark, f"{sf_dir}/part.parquet")
     mentions = part.select(F.col("p_partkey").alias("mention_id"), F.col("p_brand").alias("mention"))
     alias_dict = (
         part.select(F.col("p_brand").alias("alias")).distinct()
@@ -339,7 +349,7 @@ def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.dedup import simhash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return simhash(docs, bits=16)
 
 
@@ -348,7 +358,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction (mapInPandas); metadata columns oracle-checked."""
     from rml_utils_processor_ts_spark.operators.multimodal import attach_media, extract_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return extract_features(attach_media(docs)).select(
         "media_id", "media_type", "n_bytes", "content_hash"
     )
@@ -358,7 +368,7 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage: top-3 orders by totalprice per customer."""
     from pyspark.sql import Window
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.withColumn("rank", F.row_number().over(w))
@@ -372,7 +382,7 @@ def q_canonicalize_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     map of sameAs edges (entity merge, north-star stage)."""
     from rml_utils_processor_ts_spark.operators.cc import canonicalize_triples
 
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    customer = _read(spark, f"{sf_dir}/customer.parquet")
     triples = customer.select(
         F.format_string("c:%08d", F.col("c_custkey")).alias("s"),
         F.lit("IRI").alias("s_termtype"),
@@ -467,7 +477,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests."""
     from rml_utils_processor_ts_spark.operators.similarity import lsh_ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return lsh_ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_planes=6)
@@ -487,7 +497,7 @@ def q_ann_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_index_topk,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     base = "/dev/shm" if _os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -513,7 +523,7 @@ def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     url = F.concat(
         F.lit("HTTPS://WWW.Site"),
         (F.col("doc_id") % 37).cast("string"),
@@ -544,7 +554,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     split -> normalize -> md5 -> min-keeper per hash."""
     from rml_utils_processor_ts_spark.operators.web import paragraph_dedup_groups
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return paragraph_dedup_groups(docs, delimiter=" table ", min_chars=3)
 
 
@@ -553,7 +563,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     to int for the cross-engine hash)."""
     from rml_utils_processor_ts_spark.operators.text import quality_filter
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     out = quality_filter(docs, min_tokens=30)
     flag_cols = ["len_ok", "word_len_ok", "symbols_ok", "stopwords_ok", "keep"]
     return out.select(
@@ -571,7 +581,7 @@ def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     resumable pipeline must be able to reproduce exactly."""
     from rml_utils_processor_ts_spark.operators.corpus import hash_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return hash_sample(docs, "doc_id", rate=0.2).select("doc_id")
 
 
@@ -580,7 +590,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-sample prep; one explode, zero shuffles."""
     from rml_utils_processor_ts_spark.operators.corpus import chunk_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return chunk_documents(docs, window=40, stride=30)
 
 
@@ -590,7 +600,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange."""
     from rml_utils_processor_ts_spark.operators.corpus import session_stats
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     return session_stats(events, gap_minutes=30)
 
 
@@ -609,7 +619,7 @@ def q_kafka_records_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.plans.model import LogicalSource
     from rml_utils_processor_ts_spark.sources.registry import kafka_records_df, ref_column_name
 
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = _read(spark, f"{sf_dir}/nation.parquet")
     msgs = (
         nation.groupBy(F.col("n_regionkey").cast("int").alias("part_id"))
         .agg(
@@ -655,7 +665,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pseudo_random_centroids,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     cents = pseudo_random_centroids(64, 16, seed=7)
@@ -676,7 +686,7 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pseudo_random_centroids,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     cents = pseudo_random_centroids(64, 16, seed=7)
@@ -695,7 +705,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain GROUP BY the oracle runs."""
     from rml_utils_processor_ts_spark.operators.skew import two_phase_agg
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     out = two_phase_agg(events, ["event_type"], {"n": "count", "total": "sum:value"})
     return out.select("event_type", "n", F.round("total", 4).alias("total"))
 
@@ -740,7 +750,7 @@ def q_rml_xpath_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation."""
     from rml_utils_processor_ts_spark.sources.registry import register_memory_source
 
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = _read(spark, f"{sf_dir}/nation.parquet")
     item = F.concat(
         F.lit('<nation key="'),
         F.col("n_nationkey").cast("string"),
@@ -861,7 +871,7 @@ def q_rml_jsonpath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form over nation (keep='y' <=> even key)."""
     from rml_utils_processor_ts_spark.sources.registry import register_memory_source
 
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = _read(spark, f"{sf_dir}/nation.parquet")
     item = F.to_json(
         F.struct(
             F.col("n_nationkey").cast("string").alias("id"),
@@ -905,10 +915,10 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt-invariant, so the oracle is the plain SQL join + aggregate."""
     from rml_utils_processor_ts_spark.operators.skew import split_hot_keys
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _read(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_quantity"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _read(spark, f"{sf_dir}/orders.parquet").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
     joined = split_hot_keys(li, orders, key="l_orderkey", hot_threshold=5, n_salt=4)
@@ -934,7 +944,7 @@ def q_rml_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark = f"/tmp/rml_csv_gate_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.csv"
     # always rewrite (25 rows): an 'if exists' cache would go stale if
     # the driver regenerates testdata with different content
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = _read(spark, f"{sf_dir}/nation.parquet")
     pdf = nation.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").toPandas()
     pdf.to_csv(mark, sep=";", index=False)
     mapping = f"""
@@ -963,7 +973,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick as paragraph_dedup) to exercise the dup-line path."""
     from rml_utils_processor_ts_spark.operators.text import repetition_signals
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return repetition_signals(docs, line_delimiter=" table ")
 
 
@@ -975,7 +985,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.contamination import contamination_report
     from rml_utils_processor_ts_spark.operators.text import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(tokens(F.col("text")), 1, 25), " ").alias("text"),
@@ -990,7 +1000,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin reproduces membership exactly."""
     from rml_utils_processor_ts_spark.operators.corpus import stratified_hash_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     out = stratified_hash_sample(
         docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5, "src2": 0.0}, default_rate=0.25
     )
@@ -1005,7 +1015,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted text."""
     from rml_utils_processor_ts_spark.operators.web import redact_pii
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     salted = docs.select(
         "doc_id",
         F.concat(
@@ -1032,7 +1042,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the md5 of every extracted text."""
     from rml_utils_processor_ts_spark.sources.pages import html_to_text
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     html = F.concat(
         F.lit('<html><head><title>D</title><style>p{color:red}</style><script>var a="'),
         F.col("doc_id").cast("string"),
@@ -1054,7 +1064,7 @@ def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-division mean."""
     from rml_utils_processor_ts_spark.operators.web import domain_profile
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     url = F.concat(
         F.lit("https://www.site"),
         (F.col("doc_id") % 37).cast("string"),
@@ -1106,7 +1116,7 @@ def q_yarrrml_condition_multisource(spark: SparkSession, sf_dir: str) -> DataFra
 
 def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON value extraction (B3 family) with builtin get_json_object."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k"),
@@ -1119,7 +1129,7 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure with a recursive CTE over the same jaccard pairs."""
     from rml_utils_processor_ts_spark.operators.dedup import jaccard_pairs, keep_canonical
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     pairs = jaccard_pairs(docs, threshold=0.5, block_col="source")
     return keep_canonical(docs, pairs).select("doc_id")
 
@@ -1129,7 +1139,7 @@ def q_entity_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alias dictionary (rows-only; exactness asserted in pytest)."""
     from rml_utils_processor_ts_spark.operators.linking import link_fuzzy
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _read(spark, f"{sf_dir}/part.parquet")
     alias_dict = (
         part.select(F.col("p_name").alias("alias")).distinct()
         .withColumn("canonical_iri", F.concat(F.lit(EX + "part/"), F.md5("alias")))
@@ -1235,7 +1245,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc mean token log-probability with OOV floor."""
     from rml_utils_processor_ts_spark.operators.text import unigram_logprob_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return unigram_logprob_score(docs, vocab_size=1000)
 
 

@@ -178,18 +178,44 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
-    exact Jaccard verification of candidates only."""
+    exact Jaccard verification of candidates only.
+
+    Corpus-pass accounting (r10, guide §1.2 "the distributed algorithm
+    first"): the naive lazy composition recomputed the full shingle+md5
+    signature pass for EVERY use of a self-joined subtree — the plan
+    held 12 scans of the corpus (plans/r10/dedup_minhash_lsh_pairs_before
+    .txt). Two lineage cuts fix that: signatures materialize once
+    (|docs| x (1+H) ints — the standard shape minhash pipelines persist),
+    and the tiny candidate-pair list materializes before the verify. The
+    verify then computes shingles only for documents that appear in some
+    candidate pair (semi-join prefilter) instead of the whole corpus.
+    Exactly ONE full-corpus shingle pass remains. ``materialize=False``
+    restores the fully lazy composition (streaming/incremental callers
+    that fold this into a larger plan)."""
+    from .cc import _materialize
+
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    if materialize:
+        sigs = _materialize(sigs)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    if materialize:
+        cands = _materialize(cands)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("__cand_id"))
+        .union(cands.select(F.col("id_b").alias("__cand_id")))
+        .distinct()
+    )
+    need = df.join(cand_ids, F.col(id_col) == F.col("__cand_id"), "left_semi")
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
-    docs = df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams"))
+    docs = need.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams"))
     j = (
         cands.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")

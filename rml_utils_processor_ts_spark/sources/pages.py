@@ -32,8 +32,17 @@ def synth_pages(
 ) -> DataFrame:
     """Generate ``n_pages`` deterministic pages. ``hot_fraction`` of urls
     land on one hot domain (skew case); each page embeds
-    ``records_per_page`` <data id label> records."""
-    df = spark.range(0, n_pages, 1, partitions or max(8, n_pages // 250_000))
+    ``records_per_page`` <data id label> records.
+
+    Default partitioning scales with BOTH the session's cores and the
+    page count (guide §6: file layout determines reader parallelism —
+    each output parquet file holds one row group, so a downstream scan
+    gets at most one task per file; the old max(8, n//250k) default
+    capped an 800k-page table at 8 files and serialized 3.2M-triple
+    mapping runs onto 8 of 32 cores)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, n_pages // 250_000)
+    df = spark.range(0, n_pages, 1, partitions)
     i = F.col("id")
     hot = (F.pmod(F.xxhash64(i), F.lit(1000)) < F.lit(int(hot_fraction * 1000)))
     domain = F.when(hot, F.lit("http://hot.example.org/page/")).otherwise(

@@ -656,8 +656,10 @@ def records_df(
             "reference (publisher_ref) for relational/CSV sources"
         )
     if src.startswith("table:") or ls.kind == "table":
+        from ..ioutil import read_parquet_spread
+
         path = src[len("table:"):] if src.startswith("table:") else src
-        df = spark.read.parquet(path)
+        df = read_parquet_spread(spark, path)
         if ls.query:
             df = _run_source_query(spark, df, ls, path, table_views)
             if ls.kind in ("xpath", "jsonpath"):
@@ -680,8 +682,10 @@ def records_df(
         keep = [c for c in passthrough if c in df.columns]
         return df.select(*keep, *cols)
     if src.startswith("pages:") or ls.kind == "pages":
+        from ..ioutil import read_parquet_spread
+
         path = src[len("pages:"):] if src.startswith("pages:") else src
-        pages = spark.read.parquet(path)
+        pages = read_parquet_spread(spark, path)
         keep = [c for c in passthrough if c in pages.columns]
         inner = LogicalSource(source=src, kind="xpath" if ls.iterator and ls.iterator.startswith("/") else ls.kind, iterator=ls.iterator, payload_column=ls.payload_column)
         # default: XML payloads unless iterator looks like JSONPath
