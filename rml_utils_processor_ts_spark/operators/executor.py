@@ -255,6 +255,40 @@ def _obj_struct(
     return F.struct(*fields)
 
 
+# How many runtime-datatypeMap canonicalization chains may share one
+# fused projection. Each chain inlines four canonical_* regexp CASE arms
+# (~4 KB of generated code); janino's per-method limit is 64 KB and a
+# whole-stage-fused Project contributes ONE doConsume method that cannot
+# be sub-split (its inputs are local variables), so ~16 chains in one
+# projection fail to compile (probed r10; chained selects don't help —
+# CollapseProject merges them back). Past the threshold the staged
+# columns are wrapped in an identity higher-order function: HOFs are
+# CodegenFallback, which excludes just that ProjectExec from the fused
+# stage. Standalone, it compiles via UnsafeProjection with
+# per-expression method splitting — every method small, no failed
+# compile, and the surrounding operators stay whole-stage-compiled.
+_DTMAP_FUSED_MAX = 6
+
+
+def _codegen_isolate(c: Column) -> Column:
+    """Identity wrapper that is CodegenFallback (array transform is a
+    higher-order function), evicting the containing projection from
+    whole-stage fusion without changing any value (nulls included:
+    array(NULL)[1] transforms to NULL)."""
+    return F.element_at(F.transform(F.array(c), lambda x: x), 1)
+
+
+def _stage_in_batches(records: DataFrame, named_cols: list[tuple[str, Column]]) -> DataFrame:
+    """Stage heavy datatypeMap object columns so the generated code
+    stays compilable (round-9 fuzz shape, PLANS.md): a small count
+    rides the fused projection untouched; a large count is isolated
+    behind :func:`_codegen_isolate` (see _DTMAP_FUSED_MAX)."""
+    if not named_cols:
+        return records
+    wrap = _codegen_isolate if len(named_cols) > _DTMAP_FUSED_MAX else (lambda c: c)
+    return records.select("*", *[wrap(c).alias(name) for name, c in named_cols])
+
+
 def _group_join_poms(
     join_poms: list[PredicateObjectMap],
 ) -> list[list[PredicateObjectMap]]:
@@ -545,7 +579,24 @@ class PlanExecutor:
         graph_cols = [
             self._graph_column(tm, resolve).alias(f"__g_{i}") for i, tm in enumerate(tms)
         ]
+        # Runtime rml:datatypeMap objects also stage as named columns: the
+        # canonicalization CASE inlines four regexp chains per occurrence,
+        # and several of them inside one Generate's struct array can push
+        # the generated method past janino's size limit — Spark then
+        # silently drops the whole stage to interpreted evaluation
+        # (round-9 fuzz finding, PLANS.md). As projected columns they are
+        # split into their own codegen methods; the Generate only sees
+        # plain column refs.
+        dtmap_cols = [
+            (f"__obj_{i}_{j}", _compile_object(pom.object, resolve))
+            for i, tm in enumerate(tms)
+            for j, pom in enumerate(tm.predicate_object_maps)
+            if pom.parent_triples_map is None
+            and pom.object is not None
+            and pom.object.datatype_map is not None
+        ]
         records = records.select("*", *subj_cols, *graph_cols)
+        records = _stage_in_batches(records, dtmap_cols)
 
         quad_structs: list[Column] = []
         frames: list[DataFrame] = []
@@ -579,11 +630,14 @@ class PlanExecutor:
                 base = records.withColumn("__s", subject).filter(F.col("__s").isNotNull())
                 for grp in _group_join_poms(tm_join_poms):
                     frames.append(self._join_pom(tm, grp, base, resolve, graph, by_name))
-            for pom in tm.predicate_object_maps:
+            for j, pom in enumerate(tm.predicate_object_maps):
                 if pom.parent_triples_map is not None:
                     continue
                 pred = compile_term_map(pom.predicate, resolve, "predicate")
-                obj = _compile_object(pom.object, resolve)
+                if pom.object is not None and pom.object.datatype_map is not None:
+                    obj = F.col(f"__obj_{i}_{j}")  # staged (codegen-size guard)
+                else:
+                    obj = _compile_object(pom.object, resolve)
                 if pom.predicate.constant is None:
                     # R2RML §11.1: a failed (null) predicate generation
                     # produces NO triple — null the object so the quad
@@ -670,6 +724,23 @@ class PlanExecutor:
     ):
         """Project one TriplesMap into (s,p,o,g) rows: subject + graph +
         array of (p,o) structs -> explode (B6-B8)."""
+        # stage runtime datatypeMap objects as named columns (janino
+        # method-size guard — see the twin comment in _fused_frames)
+        dtmap_idx = [
+            idx
+            for idx, pom in enumerate(tm.predicate_object_maps)
+            if pom.parent_triples_map is None
+            and pom.object is not None
+            and pom.object.datatype_map is not None
+        ]
+        if dtmap_idx:
+            records = _stage_in_batches(
+                records,
+                [
+                    (f"__objp_{idx}", _compile_object(tm.predicate_object_maps[idx].object, resolve))
+                    for idx in dtmap_idx
+                ],
+            )
         lt = tm.subject_map.logical_target
         graph = self._graph_column(tm, resolve)
         target_id = self._target_id(tm)
@@ -696,12 +767,12 @@ class PlanExecutor:
                 )
             )
         join_poms: list[PredicateObjectMap] = []
-        for pom in tm.predicate_object_maps:
+        for idx, pom in enumerate(tm.predicate_object_maps):
             if pom.parent_triples_map is not None:
                 join_poms.append(pom)
                 continue
             pred = compile_term_map(pom.predicate, resolve, "predicate")
-            obj = _compile_object(pom.object, resolve)
+            obj = F.col(f"__objp_{idx}") if idx in dtmap_idx else _compile_object(pom.object, resolve)
             if pom.predicate.constant is None:
                 # null predicate generation -> no triple (R2RML §11.1);
                 # free for constant predicates
