@@ -50,12 +50,19 @@ def _exec(spark: SparkSession, mapping: str, **kw):
     return execute_mapping(spark, mapping, **kw)
 
 
-def _read(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read with map-side parallelism rescue for tiny inputs
-    (ioutil.spread_small_scan): the sandbox test tables are single-file,
-    single-row-group parquets that would otherwise scan as ONE task."""
+def _read(spark: SparkSession, path: str, spread: bool = True) -> DataFrame:
+    """Parquet read, by default with map-side parallelism rescue for tiny
+    inputs (ioutil.spread_small_scan): the sandbox test tables are
+    single-file, single-row-group parquets that would otherwise scan as
+    ONE task, serializing every per-row expression onto one core.
+    ``spread=False`` keeps the plain scan for queries whose map side is
+    trivial (a cheap projection straight into an aggregate/join
+    Exchange) — there the extra round-robin stage costs ~0.2-0.5 s of
+    scheduling and buys nothing (measured per query, r10 A/B)."""
     from rml_utils_processor_ts_spark.ioutil import read_parquet_spread
 
+    if not spread:
+        return spark.read.parquet(path)
     return read_parquet_spread(spark, path)
 
 
@@ -215,7 +222,7 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic snapshots of the orders table."""
     from rml_utils_processor_ts_spark.operators.cdc import cdc_diff
 
-    orders = _read(spark, f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet", spread=False)
     state = orders.filter(F.col("o_orderkey") % 4 != 0).select(
         F.col("o_orderkey").cast("string").alias("iri"),
         F.md5(F.col("o_orderstatus")).alias("watched_hash"),
@@ -232,7 +239,7 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.operators.dedup import exact_duplicate_groups
 
-    docs = _read(spark, f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet", spread=False)
     return exact_duplicate_groups(docs)
 
 
@@ -300,7 +307,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute windowed aggregation (the batch view of the
     Structured-Streaming query in streaming/windows.py)."""
-    events = _read(spark, f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet", spread=False)
     return (
         events.groupBy(
             F.window("ts", "5 minutes").alias("w"), "event_type"
@@ -320,8 +327,8 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer->nation + order->customer edge graph."""
     from rml_utils_processor_ts_spark.operators.cc import connected_components
 
-    customer = _read(spark, f"{sf_dir}/customer.parquet")
-    orders = _read(spark, f"{sf_dir}/orders.parquet")
+    customer = _read(spark, f"{sf_dir}/customer.parquet", spread=False)
+    orders = _read(spark, f"{sf_dir}/orders.parquet", spread=False)
     e1 = customer.select(
         F.format_string("c:%08d", F.col("c_custkey")).alias("src"),
         F.format_string("n:%08d", F.col("c_nationkey")).alias("dst"),
@@ -337,7 +344,7 @@ def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast alias-dictionary linking: part brand mentions -> brand IRIs."""
     from rml_utils_processor_ts_spark.operators.linking import link_exact
 
-    part = _read(spark, f"{sf_dir}/part.parquet")
+    part = _read(spark, f"{sf_dir}/part.parquet", spread=False)
     mentions = part.select(F.col("p_partkey").alias("mention_id"), F.col("p_brand").alias("mention"))
     alias_dict = (
         part.select(F.col("p_brand").alias("alias")).distinct()
@@ -368,7 +375,7 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage: top-3 orders by totalprice per customer."""
     from pyspark.sql import Window
 
-    orders = _read(spark, f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet", spread=False)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.withColumn("rank", F.row_number().over(w))
@@ -382,7 +389,7 @@ def q_canonicalize_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     map of sameAs edges (entity merge, north-star stage)."""
     from rml_utils_processor_ts_spark.operators.cc import canonicalize_triples
 
-    customer = _read(spark, f"{sf_dir}/customer.parquet")
+    customer = _read(spark, f"{sf_dir}/customer.parquet", spread=False)
     triples = customer.select(
         F.format_string("c:%08d", F.col("c_custkey")).alias("s"),
         F.lit("IRI").alias("s_termtype"),
@@ -581,7 +588,7 @@ def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     resumable pipeline must be able to reproduce exactly."""
     from rml_utils_processor_ts_spark.operators.corpus import hash_sample
 
-    docs = _read(spark, f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet", spread=False)
     return hash_sample(docs, "doc_id", rate=0.2).select("doc_id")
 
 
@@ -600,7 +607,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange."""
     from rml_utils_processor_ts_spark.operators.corpus import session_stats
 
-    events = _read(spark, f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet", spread=False)
     return session_stats(events, gap_minutes=30)
 
 
@@ -619,7 +626,7 @@ def q_kafka_records_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rml_utils_processor_ts_spark.plans.model import LogicalSource
     from rml_utils_processor_ts_spark.sources.registry import kafka_records_df, ref_column_name
 
-    nation = _read(spark, f"{sf_dir}/nation.parquet")
+    nation = _read(spark, f"{sf_dir}/nation.parquet", spread=False)
     msgs = (
         nation.groupBy(F.col("n_regionkey").cast("int").alias("part_id"))
         .agg(
@@ -705,7 +712,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain GROUP BY the oracle runs."""
     from rml_utils_processor_ts_spark.operators.skew import two_phase_agg
 
-    events = _read(spark, f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet", spread=False)
     out = two_phase_agg(events, ["event_type"], {"n": "count", "total": "sum:value"})
     return out.select("event_type", "n", F.round("total", 4).alias("total"))
 
@@ -915,10 +922,10 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt-invariant, so the oracle is the plain SQL join + aggregate."""
     from rml_utils_processor_ts_spark.operators.skew import split_hot_keys
 
-    li = _read(spark, f"{sf_dir}/lineitem.parquet").select(
+    li = _read(spark, f"{sf_dir}/lineitem.parquet", spread=False).select(
         "l_orderkey", "l_quantity"
     )
-    orders = _read(spark, f"{sf_dir}/orders.parquet").select(
+    orders = _read(spark, f"{sf_dir}/orders.parquet", spread=False).select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
     joined = split_hot_keys(li, orders, key="l_orderkey", hot_threshold=5, n_salt=4)
@@ -1000,7 +1007,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin reproduces membership exactly."""
     from rml_utils_processor_ts_spark.operators.corpus import stratified_hash_sample
 
-    docs = _read(spark, f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet", spread=False)
     out = stratified_hash_sample(
         docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5, "src2": 0.0}, default_rate=0.25
     )
@@ -1116,7 +1123,7 @@ def q_yarrrml_condition_multisource(spark: SparkSession, sf_dir: str) -> DataFra
 
 def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON value extraction (B3 family) with builtin get_json_object."""
-    events = _read(spark, f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet", spread=False)
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k"),

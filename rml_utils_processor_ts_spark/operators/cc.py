@@ -134,10 +134,26 @@ def connected_components(
 
 
 def _cc_loop_hashmin(edges: DataFrame, max_iterations: int) -> DataFrame:
-    e = _materialize(_canonical_edges(edges))
-    sym = _materialize(
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # ONE setup shuffle builds the static symmetric edge table: both
+    # directions union map-side, hash-repartition by the join key u,
+    # then dropDuplicates — partitioning by u satisfies the (u,v)
+    # distinct's ClusteredDistribution, so no second exchange. sym is
+    # the probe side of EVERY round's propagate join and localCheckpoint
+    # preserves the LogicalRDD's outputPartitioning, so each round's
+    # join plans with the sym side already satisfied (guide §2.4 "share
+    # one exchange"), shuffling only the label table per round. The
+    # probe's u<v half-edge set is a narrow filter of the same blocks
+    # (the old shape paid a distinct shuffle AND a separate sym
+    # materialization).
+    raw = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+        F.col("u") != F.col("v")
     )
+    sym = _materialize(
+        raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
+    )
+    e = sym.filter(F.col("u") < F.col("v"))
     # labels seeded with min(node, min neighbor) — one round of
     # propagation for free, and every node of sym is covered
     lab = _materialize(
