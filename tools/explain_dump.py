@@ -32,6 +32,15 @@ def main() -> int:
     os.makedirs(outdir, exist_ok=True)
 
     queries = {**entrymod.queries(), **entrymod.EXTRA_QUERIES}
+    if not only or "pages_pipeline" in only:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_extra import _pages_path, _pages_pipeline
+
+        from rml_utils_processor_ts_spark.sources.pages import synth_pages
+
+        n_pages = int(os.environ.get("RML_BENCH_PAGES", "800000"))
+        synth_pages(spark, n_pages).write.mode("overwrite").parquet(_pages_path())
+        queries["pages_pipeline"] = lambda s, sf: _pages_pipeline(s, sf)
     for name, fn in queries.items():
         if only and name not in only:
             continue
