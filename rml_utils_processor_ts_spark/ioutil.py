@@ -58,7 +58,10 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file-based plans
         return df
-    if not files or len(files) >= par:
+    # "severely under-split" only: an input already ≥25% as parallel as
+    # the session gains little from a balancing pass — the win cases are
+    # the 1-to-few-file tables whose map side would otherwise serialize
+    if not files or len(files) >= max(2, par // 4):
         return df
     total = 0
     for f in files:
