@@ -83,19 +83,19 @@ def _warm_session(spark) -> None:
 
     from pyspark.sql import functions as F
 
-    par = spark.sparkContext.defaultParallelism
-    df = spark.range(0, 64 * max(par, 1), 1, max(par, 1)).select(
-        (F.col("id") % 7).cast("string").alias("k"),
-        F.md5(F.col("id").cast("string")).alias("h"),
-        F.regexp_replace(F.concat(F.lit("w  "), F.col("id").cast("string")), r"\s+", " ").alias("t"),
-    )
-    # codegen + generate + hash-shuffle + noop sink in one tiny job
-    warm = (
-        df.withColumn("__e", F.explode(F.array(F.col("k"), F.col("t"))))
-        .groupBy("k")
-        .agg(F.count("*").alias("n"), F.min("h").alias("m"))
-    )
     try:
+        par = spark.sparkContext.defaultParallelism
+        df = spark.range(0, 64 * max(par, 1), 1, max(par, 1)).select(
+            (F.col("id") % 7).cast("string").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+            F.regexp_replace(F.concat(F.lit("w  "), F.col("id").cast("string")), r"\s+", " ").alias("t"),
+        )
+        # codegen + generate + hash-shuffle + noop sink in one tiny job
+        warm = (
+            df.withColumn("__e", F.explode(F.array(F.col("k"), F.col("t"))))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.min("h").alias("m"))
+        )
         warm.write.format("noop").mode("overwrite").save()
         # columnar writer/reader bootstrap: tiny parquet round-trip in tmp
         base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
