@@ -446,6 +446,16 @@ def _python_iterate_records(
             )
         return docs.map(lambda d: _json_iter_records(d, iterator, ref_list) if d is not None else [])
 
+    # The function is pure, but the flag stops the optimizer duplicating
+    # it (guide §4.4): InferFiltersFromGenerate adds `size(__records) >
+    # 0` below the explode, and predicate pushdown then substituted the
+    # UDF expression into that filter — every walker-routed row paid the
+    # Python iterate TWICE (two ArrowEvalPython nodes in the r10 plans
+    # for pages/xpath-predicates/jsonpath-filter). Non-deterministic
+    # expressions are not pushed through, so the inferred filter stays
+    # above the single evaluation. Results are identical.
+    iterate = iterate.asNondeterministic()
+
     recs = df.withColumn("__records", iterate(F.col(payload_col)))
     exploded = recs.select(*passthrough, F.explode("__records").alias("__rec"))
     return exploded.select(*passthrough, "__rec.*")
