@@ -40,6 +40,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import threading
 from contextlib import contextmanager
 
@@ -164,6 +165,26 @@ def _cc_loop_hashmin(edges: DataFrame, max_iterations: int) -> DataFrame:
             F.least(F.col("u"), F.col("mn")).alias("comp"),
         )
     )
+    # Join-strategy gate for the label table (guide §3.1 "broadcast the
+    # side that fits"). localCheckpoint returns a LogicalRDD with no
+    # size statistics (sizeInBytes = defaultSizeInBytes = huge), so
+    # Catalyst can never pick a broadcast join on its own and every
+    # pointer jump + convergence probe paid full shuffle joins — at
+    # bench scale that is ~19 sequential stage barriers whose scheduling
+    # latency, not compute, dominated cc wall time (measured: 14 task-
+    # seconds spread over 5 s wall). When the label table is small
+    # enough to ship (~100-200 B/row in the built relation, so the
+    # default 2M-node cap is a few hundred MB — inside the §3.1 comfort
+    # band and far under the 8 GB broadcast hard cap), hint it broadcast:
+    # the probe collapses to one stage over the checkpointed edge blocks
+    # and the jump's map side stops shuffling. |V| is known exactly (one
+    # cheap count over checkpointed blocks) and constant across rounds;
+    # at web scale |V| exceeds the cap and the loop keeps the pure
+    # shuffle joins unchanged.
+    n_nodes = lab.count()
+    bcast_labels = n_nodes <= int(
+        os.environ.get("RML_CC_BROADCAST_MAX_NODES", "2000000")
+    )
     for _ in range(max_iterations):
         # propagate: comp'(v) = min(comp(v), min over neighbors comp(u))
         upd = sym.join(lab, sym["u"] == lab["node"]).select(
@@ -179,6 +200,8 @@ def _cc_loop_hashmin(edges: DataFrame, max_iterations: int) -> DataFrame:
         # round count logarithmic in component diameter. Alias-qualified
         # refs: derived-frame df["col"] mis-resolves on self-joins.
         m = lab2.select(F.col("node").alias("jn"), F.col("comp").alias("jc"))
+        if bcast_labels:
+            m = F.broadcast(m)
         lab = _materialize(
             lab2.alias("L")
             .join(m.alias("R"), F.col("L.comp") == F.col("R.jn"), "left")
@@ -200,9 +223,16 @@ def _cc_loop_hashmin(edges: DataFrame, max_iterations: int) -> DataFrame:
         # one full round earlier than waiting for two identical label
         # signatures (r9, probe on the u<v half-edge set, early-out
         # via limit 1).
+        lab_a = lab.alias("A")
+        lab_b = lab.alias("B")
+        if bcast_labels:
+            # both hints broadcast the SAME checkpointed frame, so the
+            # exchange is built once and reused for the second join
+            lab_a = F.broadcast(lab_a)
+            lab_b = F.broadcast(lab_b)
         inconsistent = (
-            e.join(lab.alias("A"), e["u"] == F.col("A.node"))
-            .join(lab.alias("B"), e["v"] == F.col("B.node"))
+            e.join(lab_a, e["u"] == F.col("A.node"))
+            .join(lab_b, e["v"] == F.col("B.node"))
             .filter(F.col("A.comp") != F.col("B.comp"))
             .limit(1)
             .count()
