@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -208,6 +210,23 @@ def minhash_dedup_pairs(
         .union(cands.select(F.col("id_b").alias("__cand_id")))
         .distinct()
     )
+    if materialize:
+        # Join-strategy gate (guide §3.1): ``cands`` is checkpointed, and
+        # a LogicalRDD carries no size statistics, so the semi-join below
+        # would always plan as a sort-merge join — shuffling and sorting
+        # the WHOLE CORPUS by id just to filter it against the candidate
+        # list. The candidate-id list is small by construction (only
+        # near-dup documents appear in any pair) and its exact size is
+        # one cheap count over the checkpointed blocks; under the cap
+        # (~100-200 B/row built, so the 1M-pair default is well inside
+        # guide §3.1's comfort band) broadcast it and the corpus never
+        # shuffles. Over the cap — boilerplate-heavy corpora at web
+        # scale — the shuffle semi-join path is kept unchanged.
+        n_cand_pairs = cands.count()
+        if 2 * n_cand_pairs <= int(
+            os.environ.get("RML_DEDUP_BROADCAST_MAX_CAND_IDS", "2000000")
+        ):
+            cand_ids = F.broadcast(cand_ids)
     need = df.join(cand_ids, F.col(id_col) == F.col("__cand_id"), "left_semi")
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
