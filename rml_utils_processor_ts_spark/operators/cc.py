@@ -342,16 +342,23 @@ def canonicalize_triples(triples: DataFrame, same_as_edges: DataFrame) -> DataFr
     """Rewrite subject/object IRIs through the canonical map produced by
     connected components over sameAs edges (entity merge).
 
-    Join strategy is left to Catalyst/AQE: the node->canonical map is
-    proportional to the merged-entity count — small corpora broadcast
-    automatically (under autoBroadcastJoinThreshold), but at web scale
-    the map is billions of rows and a pinned broadcast hint would OOM
-    the driver, so the hint is deliberately absent and the shuffle-join
-    path must stay correct (tested with the threshold disabled)."""
+    Join strategy (guide §3.1): the node->canonical map is proportional
+    to the merged-entity count, but cc output is checkpointed
+    (LogicalRDD, no size statistics — Catalyst estimates it huge), so
+    without a hint BOTH rewrite joins shuffle the full triple table by
+    s/o. The map's true size is one cheap count over the checkpointed
+    blocks: under RML_CC_BROADCAST_MAX_NODES (default 2M rows, a few
+    hundred MB built — far under the 8 GB broadcast cap) the map is
+    hinted broadcast and the triple table never shuffles; at web scale
+    the map is billions of rows, the gate stays off, and the
+    shuffle-join path must remain correct (tested with the gate forced
+    off)."""
     comp = connected_components(same_as_edges)
     mapping = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node"), F.col("component").alias("canon")
     )
+    if mapping.count() <= int(os.environ.get("RML_CC_BROADCAST_MAX_NODES", "2000000")):
+        mapping = F.broadcast(mapping)
     t = triples
     for col in ("s", "o"):
         m = mapping.withColumnRenamed("node", f"__{col}_node").withColumnRenamed("canon", f"__{col}_canon")

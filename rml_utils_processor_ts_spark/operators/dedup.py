@@ -417,4 +417,16 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
         .filter(node_key != F.col("keep_id"))
         .select(node_key.alias("drop_id"))
     )
+    # Join-strategy gate (guide §3.1/§8): cc output is checkpointed
+    # (LogicalRDD, no size statistics), so the final anti-join would
+    # always shuffle the WHOLE CORPUS — text payload included — by id
+    # against a drop list that only holds near-duplicate ids. |nodes|
+    # is one cheap count over the checkpointed blocks and bounds
+    # |drop|; under the cap the drop list broadcasts and the corpus
+    # never shuffles, over the cap the shuffle anti-join path is kept
+    # unchanged. (Broadcasting ``keep`` as well was measured SLOWER at
+    # bench scale — the nested broadcast builds serialize on the
+    # driver — so only the corpus-facing join is hinted.)
+    if comps.count() <= int(os.environ.get("RML_CC_BROADCAST_MAX_NODES", "2000000")):
+        drop = F.broadcast(drop)
     return df.join(drop, df[id_col] == F.col("drop_id"), "left_anti")
